@@ -7,12 +7,18 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-# NOTE: the ambient shell sets JAX_PLATFORMS=axon (the tunneled real TPU);
-# tests must hard-override it, not setdefault, to get the virtual CPU mesh.
+# NOTE: the ambient environment routes jax at the tunneled real TPU twice:
+# JAX_PLATFORMS=axon in the shell AND /root/.axon_site/sitecustomize.py which
+# registers the axon PJRT plugin and programmatically sets
+# jax_platforms='axon,cpu' (overriding the env var). Both must be overridden.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
