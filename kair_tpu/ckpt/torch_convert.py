@@ -103,7 +103,8 @@ def convert_ircnn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """IRCNN ``model.{0,2,...,12}`` 7 dilated convs (network_dncnn.py:98-112)."""
     conv_idx = sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")})
     assert len(conv_idx) == 7
-    params = {f"conv{i}": conv_leaf(sd, f"model.{t}") for i, t in enumerate(conv_idx)}
+    params = {f"conv{i}": {"conv": conv_leaf(sd, f"model.{t}")}
+              for i, t in enumerate(conv_idx)}
     return {"params": params}
 
 
@@ -124,4 +125,178 @@ def convert_ffdnet(sd: Dict[str, np.ndarray], nb: int = 15) -> Dict[str, Any]:
             params[name] = {"conv": leaf}
         else:
             params[name] = {"m00": {"conv": leaf}}
+    return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# SRResNet family (reference: network_msrresnet.py, network_dpsr.py)
+# ----------------------------------------------------------------------------
+
+def convert_msrresnet0(sd: Dict[str, np.ndarray], nb: int = 16,
+                       upscale: int = 4,
+                       upsample_mode: str = "upconv") -> Dict[str, Any]:
+    """MSRResNet0 / SRResNet / MSRResNet_prior (DPSR): torch Sequential keys
+    ``model.0`` head, ``model.1.sub.{i}.res.{j}`` residual convs,
+    ``model.1.sub.{nb}`` trunk conv, then upsampler/hr/tail convs in index
+    order (network_msrresnet.py:38-83)."""
+    params: Dict[str, Any] = {}
+    params["head"] = {"conv": conv_leaf(sd, "model.0")}
+    for i in range(nb):
+        params[f"body{i:02d}"] = {"res": {
+            "m00": {"conv": conv_leaf(sd, f"model.1.sub.{i}.res.0")},
+            "m02": {"conv": conv_leaf(sd, f"model.1.sub.{i}.res.2")},
+        }}
+    params["body_tail"] = {"conv": conv_leaf(sd, f"model.1.sub.{nb}")}
+
+    # remaining top-level conv indices in order: upsamplers, hr, tail
+    rest = sorted({int(k.split(".")[1]) for k in sd
+                   if k.startswith("model.") and k.split(".")[1].isdigit()
+                   and int(k.split(".")[1]) >= 2 and k.endswith("weight")})
+    n_up = 1 if upscale == 3 else int(np.log2(upscale))
+    up_conv_pos = {"upconv": "m01", "pixelshuffle": "m00", "convtranspose": "m00"}[upsample_mode]
+    for u in range(n_up):
+        if upsample_mode == "convtranspose":
+            params[f"up{u}"] = {"up": {up_conv_pos: convT_leaf(sd, f"model.{rest[u]}")}}
+        else:
+            params[f"up{u}"] = {"up": {up_conv_pos: {"conv": conv_leaf(sd, f"model.{rest[u]}")}}}
+    params["hr"] = {"m00": {"conv": conv_leaf(sd, f"model.{rest[n_up]}")}}
+    params["tail"] = {"m00": {"conv": conv_leaf(sd, f"model.{rest[n_up + 1]}")}}
+    return {"params": params}
+
+
+def convert_msrresnet1(sd: Dict[str, np.ndarray], nb: int = 16,
+                       upscale: int = 4) -> Dict[str, Any]:
+    """MSRResNet1 (network_msrresnet.py:89-135): named torch modules."""
+    params: Dict[str, Any] = {"conv_first": {"conv": conv_leaf(sd, "conv_first")}}
+    for i in range(nb):
+        params[f"trunk{i:02d}_conv1"] = {"conv": conv_leaf(sd, f"recon_trunk.{i}.conv1")}
+        params[f"trunk{i:02d}_conv2"] = {"conv": conv_leaf(sd, f"recon_trunk.{i}.conv2")}
+    params["upconv1"] = {"conv": conv_leaf(sd, "upconv1")}
+    if upscale == 4:
+        params["upconv2"] = {"conv": conv_leaf(sd, "upconv2")}
+    params["HRconv"] = {"conv": conv_leaf(sd, "HRconv")}
+    params["conv_last"] = {"conv": conv_leaf(sd, "conv_last")}
+    return {"params": params}
+
+
+def convert_srmd(sd: Dict[str, np.ndarray], nb: int = 12) -> Dict[str, Any]:
+    """SRMD (network_srmd.py:26-77): plain stack + pixelshuffle tail conv."""
+    conv_idx = sorted({int(k.split(".")[1]) for k in sd
+                       if k.endswith(".weight") and sd[k].ndim == 4})
+    assert len(conv_idx) == nb, f"expected {nb} convs, found {len(conv_idx)}"
+    params: Dict[str, Any] = {"head": {"m00": {"conv": conv_leaf(sd, f"model.{conv_idx[0]}")}}}
+    for i, t in enumerate(conv_idx[1:-1]):
+        params[f"body{i:02d}"] = {"m00": {"conv": conv_leaf(sd, f"model.{t}")}}
+    params["tail"] = {"up": {"m00": {"conv": conv_leaf(sd, f"model.{conv_idx[-1]}")}}}
+    return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# RRDB family (reference: network_rrdb.py, network_rrdbnet.py)
+# ----------------------------------------------------------------------------
+
+def _rdb(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    return {f"conv{j}": {"conv": conv_leaf(sd, f"{prefix}.conv{j}")} for j in range(1, 6)}
+
+
+def convert_rrdbnet(sd: Dict[str, np.ndarray], nb: int = 23,
+                    sf: int = 4) -> Dict[str, Any]:
+    """RRDBNet (ESRGAN/BSRGAN style, network_rrdbnet.py:74-104)."""
+    params: Dict[str, Any] = {"conv_first": {"conv": conv_leaf(sd, "conv_first")}}
+    for i in range(nb):
+        params[f"rrdb{i:02d}"] = {
+            f"rdb{k}": _rdb(sd, f"RRDB_trunk.{i}.RDB{k}") for k in (1, 2, 3)}
+    params["trunk_conv"] = {"conv": conv_leaf(sd, "trunk_conv")}
+    params["upconv1"] = {"conv": conv_leaf(sd, "upconv1")}
+    if sf == 4:
+        params["upconv2"] = {"conv": conv_leaf(sd, "upconv2")}
+    params["HRconv"] = {"conv": conv_leaf(sd, "HRconv")}
+    params["conv_last"] = {"conv": conv_leaf(sd, "conv_last")}
+    return {"params": params}
+
+
+def convert_rrdbnet_noup(sd: Dict[str, np.ndarray], nb: int = 23) -> Dict[str, Any]:
+    """fork RRDBNet_noUp (network_rrdbnet.py:106-125)."""
+    params: Dict[str, Any] = {"conv_first": {"conv": conv_leaf(sd, "conv_first")}}
+    for i in range(nb):
+        params[f"rrdb{i:02d}"] = {
+            f"rdb{k}": _rdb(sd, f"RRDB_trunk.{i}.RDB{k}") for k in (1, 2, 3)}
+    params["trunk_conv"] = {"conv": conv_leaf(sd, "trunk_conv")}
+    params["HRconv"] = {"conv": conv_leaf(sd, "HRconv")}
+    params["conv_last"] = {"conv": conv_leaf(sd, "conv_last")}
+    return {"params": params}
+
+
+def convert_rrdb_old(sd: Dict[str, np.ndarray], nb: int = 23,
+                     upscale: int = 4,
+                     upsample_mode: str = "upconv") -> Dict[str, Any]:
+    """old-style RRDB generator (network_rrdb.py:14-54); ESRGAN zoo uses it."""
+    params: Dict[str, Any] = {"head": {"conv": conv_leaf(sd, "model.0")}}
+    for i in range(nb):
+        rdbs = {}
+        for k in (1, 2, 3):
+            rdbs[f"rdb{k}"] = {
+                f"conv{j}": {"conv": conv_leaf(sd, f"model.1.sub.{i}.RDB{k}.conv{j}.0")}
+                for j in range(1, 5)}
+            rdbs[f"rdb{k}"]["conv5"] = {"conv": conv_leaf(sd, f"model.1.sub.{i}.RDB{k}.conv5")}
+        params[f"body{i:02d}"] = rdbs
+    params["body_tail"] = {"conv": conv_leaf(sd, f"model.1.sub.{nb}")}
+    rest = sorted({int(k.split(".")[1]) for k in sd
+                   if k.startswith("model.") and k.split(".")[1].isdigit()
+                   and int(k.split(".")[1]) >= 2 and k.endswith("weight")})
+    n_up = 1 if upscale == 3 else int(np.log2(upscale))
+    up_conv_pos = {"upconv": "m01", "pixelshuffle": "m00", "convtranspose": "m00"}[upsample_mode]
+    for u in range(n_up):
+        if upsample_mode == "convtranspose":
+            params[f"up{u}"] = {"up": {up_conv_pos: convT_leaf(sd, f"model.{rest[u]}")}}
+        else:
+            params[f"up{u}"] = {"up": {up_conv_pos: {"conv": conv_leaf(sd, f"model.{rest[u]}")}}}
+    params["hr"] = {"m00": {"conv": conv_leaf(sd, f"model.{rest[n_up]}")}}
+    params["tail"] = {"m00": {"conv": conv_leaf(sd, f"model.{rest[n_up + 1]}")}}
+    return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# IMDN (reference: network_imdn.py:33-66)
+# ----------------------------------------------------------------------------
+
+def convert_imdn(sd: Dict[str, np.ndarray], nb: int = 8) -> Dict[str, Any]:
+    params: Dict[str, Any] = {"head": {"conv": conv_leaf(sd, "model.0")}}
+    for i in range(nb):
+        p = f"model.1.sub.{i}"
+        params[f"body{i:02d}"] = {
+            "conv1": {"conv": conv_leaf(sd, f"{p}.conv1.0")},
+            "conv2": {"conv": conv_leaf(sd, f"{p}.conv2.0")},
+            "conv3": {"conv": conv_leaf(sd, f"{p}.conv3.0")},
+            "conv4": {"conv": conv_leaf(sd, f"{p}.conv4")},
+            "conv1x1": {"conv": conv_leaf(sd, f"{p}.conv1x1")},
+        }
+    params["body_tail"] = {"conv": conv_leaf(sd, f"model.1.sub.{nb}")}
+    params["tail"] = {"up": {"m00": {"conv": conv_leaf(sd, "model.2")}}}
+    return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# DRUNet / UNetRes (reference: network_unet.py:21-87)
+# ----------------------------------------------------------------------------
+
+def convert_unetres(sd: Dict[str, np.ndarray], nb: int = 4) -> Dict[str, Any]:
+    """default strideconv/convtranspose configuration (the released DRUNet)."""
+    params: Dict[str, Any] = {"head": {"conv": conv_leaf(sd, "m_head")}}
+
+    def res_blocks(tprefix, oprefix, start=0):
+        for i in range(nb):
+            params[f"{oprefix}_b{i:02d}"] = {"res": {
+                "m00": {"conv": conv_leaf(sd, f"{tprefix}.{start + i}.res.0")},
+                "m02": {"conv": conv_leaf(sd, f"{tprefix}.{start + i}.res.2")},
+            }}
+
+    for d in (1, 2, 3):
+        res_blocks(f"m_down{d}", f"down{d}")
+        params[f"down{d}_pool"] = {"down": {"m00": {"conv": conv_leaf(sd, f"m_down{d}.{nb}")}}}
+    res_blocks("m_body", "body")
+    for u in (3, 2, 1):
+        params[f"up{u}_up"] = {"up": {"m00": convT_leaf(sd, f"m_up{u}.0")}}
+        res_blocks(f"m_up{u}", f"up{u}", start=1)
+    params["tail"] = {"conv": conv_leaf(sd, "m_tail")}
     return {"params": params}

@@ -1,0 +1,73 @@
+"""Golden fixtures for model-zoo conversion parity: instantiate each
+REFERENCE torch network at a small config with a fixed seed, run a forward
+pass, and save {state_dict, input, output}. Our converters + flax models
+must reproduce the outputs.
+
+Run once: python tests/make_fixtures_models.py
+"""
+
+import os
+import sys
+import types
+
+sys.path.insert(0, "/root/reference")
+for _m in ("lpips", "pytorch_fid"):
+    sys.modules.setdefault(_m, types.ModuleType(_m))
+
+import numpy as np
+import torch
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def dump(name, net, *inputs):
+    net.eval()
+    with torch.no_grad():
+        out = net(*[torch.from_numpy(i) for i in inputs])
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(FIX, f"model_{name}.npz"),
+        out=out.numpy(),
+        **{f"in{i}": a for i, a in enumerate(inputs)},
+        **{f"sd.{k}": v for k, v in sd.items()})
+    print(f"{name}: out {tuple(out.shape)}  params {sum(v.size for v in sd.values())}")
+
+
+def main():
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    x1 = rng.rand(1, 1, 24, 24).astype(np.float32)
+    x2 = rng.rand(1, 2, 24, 24).astype(np.float32)
+    x3 = rng.rand(1, 3, 24, 24).astype(np.float32)
+    x19 = rng.rand(1, 19, 24, 24).astype(np.float32)
+    x64 = rng.rand(1, 3, 64, 64).astype(np.float32)
+    sigma = np.full((1, 1, 1, 1), 25 / 255.0, np.float32)
+
+    from models.network_dncnn import IRCNN, FDnCNN
+    from models.network_ffdnet import FFDNet
+    from models.network_msrresnet import MSRResNet0, MSRResNet1
+    from models.network_dpsr import MSRResNet_prior
+    from models.network_srmd import SRMD
+    from models.network_rrdbnet import RRDBNet, RRDBNet_noUp
+    from models.network_rrdb import RRDB as RRDB_old
+    from models.network_imdn import IMDN
+    from models.network_unet import UNetRes
+
+    dump("ircnn", IRCNN(1, 1, 64), x1)
+    dump("fdncnn", FDnCNN(2, 1, 64, 8, "R"), x2)
+    dump("ffdnet", FFDNet(1, 1, 64, 6, "R"), x1, sigma)
+    dump("msrresnet0", MSRResNet0(3, 3, 32, 3, 4, "R", "upconv"), x3)
+    dump("msrresnet0_ps", MSRResNet0(3, 3, 32, 2, 4, "R", "pixelshuffle"), x3)
+    dump("msrresnet1", MSRResNet1(3, 3, 32, 3, 4), x3)
+    dump("dpsr", MSRResNet_prior(4, 3, 32, 3, 4, "R", "upconv"),
+         rng.rand(1, 4, 24, 24).astype(np.float32))
+    dump("srmd", SRMD(19, 3, 32, 6, 4, "R", "pixelshuffle"), x19)
+    dump("rrdbnet", RRDBNet(3, 3, 16, 2, 8, 4), x3)
+    dump("rrdbnet_noup", RRDBNet_noUp(3, 3, 16, 2, 8), x3)
+    dump("rrdb_old", RRDB_old(3, 3, 16, 2, 8, 4, "L", "upconv"), x3)
+    dump("imdn", IMDN(3, 3, 32, 3, 4, "L", "pixelshuffle"), x3)
+    dump("unetres", UNetRes(3, 3, [16, 32, 64, 128], 2), x64)
+
+
+if __name__ == "__main__":
+    main()
