@@ -30,7 +30,9 @@ def _to_host(tree: Any) -> Any:
 
 def save_pytree(tree: Any, path: str) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    data = serialization.msgpack_serialize(_to_host(tree))
+    # to_state_dict handles flax.struct dataclasses (e.g. TrainState) and
+    # optax named tuples; msgpack only packs plain containers.
+    data = serialization.msgpack_serialize(_to_host(serialization.to_state_dict(tree)))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

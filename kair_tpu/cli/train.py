@@ -1,0 +1,162 @@
+"""Training entry point — the counterpart of the reference's
+``main_train_psnr.py`` (:32-246) driven by the same JSON option files.
+
+    python -m kair_tpu.cli.train --opt options/train_dncnn.json
+
+Differences (TPU-native):
+* no torchrun/NCCL — multi-device data parallelism is a jax Mesh with the
+  batch sharded over the 'data' axis (see kair_tpu.parallel); single-host
+  multi-chip needs no launcher at all.
+* one pytree checkpoint per tag instead of per-component torch files.
+* bf16 compute by default on TPU (--dtype bf16|f32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+import random
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from kair_tpu import config as opt_util
+from kair_tpu.ckpt import checkpoint as ck
+from kair_tpu.data.base import Loader
+from kair_tpu.data.datasets import define_dataset
+from kair_tpu.train.trainer import PlainTrainer, TrainState
+from kair_tpu.utils import image as im
+from kair_tpu.utils.logger import setup_logger
+
+FEED_KEYS = {
+    # reference select_model.py:9-33: plain feeds L; plain2 feeds (L, C);
+    # plain4 feeds (L, k, sf, sigma)
+    "plain": (),
+    "plain2": ("C",),
+    "plain4": ("k", "sf", "sigma"),
+}
+
+
+def build_trainer(opt, dtype=None) -> PlainTrainer:
+    model_kind = opt.get("model") or "plain"
+    extra = FEED_KEYS.get(model_kind, ())
+    return PlainTrainer(opt, extra_keys=extra, dtype=dtype)
+
+
+def evaluate(trainer: PlainTrainer, state: TrainState, test_loader: Loader,
+             border: int = 0, use_ema: bool = False, logger=None):
+    """PSNR/SSIM eval loop (reference main_train_psnr.py:208-246)."""
+    eval_step = trainer.make_eval_step(use_ema=use_ema)
+    psnrs, ssims = [], []
+    for batch in test_loader.epoch(0):
+        e = np.asarray(eval_step(state, {k: v for k, v in batch.items()
+                                         if isinstance(v, np.ndarray)}))
+        for i in range(e.shape[0]):
+            img_e = im.nhwc_to_uint(e[i:i + 1])
+            img_h = im.nhwc_to_uint(batch["H"][i:i + 1])
+            psnrs.append(im.calculate_psnr(img_e, img_h, border=border))
+            ssims.append(im.calculate_ssim(img_e, img_h, border=border))
+            if logger:
+                name = os.path.basename(batch.get("H_path", ["?"])[i])
+                logger.info(f"{name:>20s} | {psnrs[-1]:<4.2f}dB")
+    return float(np.mean(psnrs)), float(np.mean(ssims))
+
+
+def main(json_path: Optional[str] = None, argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--opt", type=str, default=json_path, required=json_path is None)
+    parser.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"])
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="override: stop after N optimizer steps")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    opt = opt_util.parse(args.opt, is_train=True)
+    for d in ("models", "images", "options", "log"):
+        os.makedirs(opt["path"].get(d) or opt["path"]["task"], exist_ok=True)
+    opt_util.save(opt)
+
+    logger = setup_logger("train", os.path.join(opt["path"]["log"], "train.log"))
+    logger.info(opt_util.dict2str(opt))
+
+    seed = opt["train"].get("manual_seed")
+    if seed is None:
+        seed = random.randint(1, 10000)
+    logger.info(f"Random seed: {seed}")
+    np.random.seed(seed)
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    trainer = build_trainer(opt, dtype=dtype)
+
+    # datasets
+    train_loader = test_loader = None
+    for phase, ds_opt in opt["datasets"].items():
+        if phase == "train":
+            ds = define_dataset(ds_opt)
+            bs = ds_opt.get("dataloader_batch_size") or 16
+            train_loader = Loader(ds, bs, shuffle=bool(ds_opt.get("dataloader_shuffle", True)),
+                                  seed=seed)
+            logger.info(f"train images: {len(ds)}, iters/epoch: {len(train_loader)}")
+        elif phase == "test":
+            ds = define_dataset(ds_opt)
+            test_loader = Loader(ds, 1, shuffle=False, drop_last=False)
+
+    assert train_loader is not None, "no train dataset in options"
+
+    # init + auto-resume (reference main_train_psnr.py:63-69)
+    first = next(iter(train_loader.epoch(0)))
+    batch0 = {k: v for k, v in first.items() if isinstance(v, np.ndarray)}
+    state = trainer.init_state(jax.random.PRNGKey(seed), batch0)
+    init_iter, init_path = opt_util.find_last_checkpoint(
+        opt["path"]["models"], "S", pretrained_path=opt["path"].get("pretrained_netG"))
+    if init_path and os.path.exists(init_path):
+        logger.info(f"resume from {init_path} @ iter {init_iter}")
+        state = ck.load_pytree(init_path, target=state)
+    current_step = int(init_iter)
+
+    train_step = trainer.make_train_step()
+
+    ot = opt["train"]
+    checkpoint_print = ot.get("checkpoint_print") or 200
+    checkpoint_save = ot.get("checkpoint_save") or 5000
+    checkpoint_test = ot.get("checkpoint_test") or 5000
+    max_iter = args.max_steps or ot.get("max_iter") or 10 ** 8
+    border = opt.get("scale") or 1
+
+    t0 = time.time()
+    for epoch in range(10 ** 9):
+        for batch in train_loader.epoch(epoch + seed):
+            if current_step >= max_iter:
+                logger.info("reached max_iter, stopping")
+                ck.save_tagged(opt["path"]["models"], current_step, "S", state)
+                return state
+            current_step += 1
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            state, metrics = train_step(state, arrays)
+            state = trainer.apply_regularizers(state, current_step)
+
+            if current_step % checkpoint_print == 0:
+                loss = float(metrics["G_loss"])
+                lr = trainer.current_lr(current_step)
+                ips = current_step / max(time.time() - t0, 1e-9)
+                logger.info(f"<epoch:{epoch:3d}, iter:{current_step:8,d}, "
+                            f"lr:{lr:.3e}> G_loss: {loss:.3e} it/s: {ips:.2f}")
+            if current_step % checkpoint_save == 0:
+                logger.info("Saving the model.")
+                ck.save_tagged(opt["path"]["models"], current_step, "S", state)
+                if ot.get("keep_only_latest"):
+                    ck.prune_old(opt["path"]["models"], "S", current_step)
+            if current_step % checkpoint_test == 0 and test_loader is not None:
+                psnr, ssim = evaluate(trainer, state, test_loader, border=border)
+                logger.info(f"<epoch:{epoch:3d}, iter:{current_step:8,d}, "
+                            f"Average PSNR : {psnr:<.2f}dB, SSIM : {ssim:<.4f}")
+
+
+if __name__ == "__main__":
+    main()

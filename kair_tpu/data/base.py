@@ -1,0 +1,89 @@
+"""Dataset protocol + batching loader.
+
+The reference relies on torch DataLoader worker processes
+(main_train_psnr.py:116-145). Here a dataset is a plain object with
+``__len__`` and ``get_example(index, rng) -> dict of HWC float32 numpy``
+(explicit rng instead of the reference's global `random` state — SPMD-safe
+and reproducible), and :class:`Loader` assembles NHWC batches with a
+background thread prefetcher (cv2/numpy release the GIL during decode).
+
+Deterministic epoch shuffling seeds with (seed + epoch), the analog of the
+reference's `DistributedSampler.set_epoch` (main_train_psnr.py:166-167).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class Dataset:
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get_example(self, index: int, rng: np.random.Generator) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+def collate(examples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack HWC dicts into NHWC arrays; non-array values become lists."""
+    out: Dict[str, Any] = {}
+    for k in examples[0]:
+        v0 = examples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([e[k] for e in examples]).astype(v0.dtype)
+        else:
+            out[k] = [e[k] for e in examples]
+    return out
+
+
+class Loader:
+    """Iterates shuffled batches with background prefetch.
+
+    drop_last is True for training (static batch shapes keep XLA from
+    recompiling — a TPU requirement the reference doesn't have).
+    """
+
+    def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, num_prefetch: int = 4,
+                 num_shards: int = 1, shard_index: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_prefetch = num_prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_shards
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        rng = np.random.default_rng(self.seed + epoch)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.shard_index::self.num_shards]
+        n_batches = len(order) // self.batch_size if self.drop_last \
+            else -(-len(order) // self.batch_size)
+
+        def produce(q: queue.Queue):
+            for b in range(n_batches):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                exs = [self.dataset.get_example(int(i), rng) for i in idxs]
+                q.put(collate(exs))
+            q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

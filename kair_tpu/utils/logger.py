@@ -1,0 +1,31 @@
+"""Logging setup: file + console handlers, idempotent per name
+(reference utils/utils_logger.py:42-81; the fork's tqdm-compatible stream
+handler becomes a plain stream handler — we don't draw progress bars over
+logs)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Optional
+
+
+def setup_logger(name: str, log_path: Optional[str] = None,
+                 level: int = logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s",
+                            datefmt="%y-%m-%d %H:%M:%S")
+    if log_path:
+        os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_path, mode="a")
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger
