@@ -1,0 +1,98 @@
+"""Benchmark: SwinIR ×4 classical SR throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures LR megapixels/sec/chip at the reference's benchmark config
+(SwinIR-M ×4: embed_dim 180, depths 6×6, heads 6, window 8, pixelshuffle
+head — docs/README_SwinIR.md classical SR), bf16 compute.
+
+Timing methodology: the axon-tunnelled runtime acks block_until_ready
+before queued device work completes, so naive loop timing overshoots
+physics. We chain K forwards inside one jitted fori_loop (each iteration
+consumes the previous output, so the device must run all K) and fetch one
+scalar; per-iter time = (t_K - t_1) / (K - 1), removing the tunnel
+round-trip and dispatch overhead. Sanity-capped at the chip's bf16 peak.
+
+The reference publishes no absolute MP/s number (BASELINE.md), so
+vs_baseline is the ratio against BASELINE.json's published
+mp_per_s_per_chip when present, else null.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed_chain(model_apply, variables, x, k: int) -> float:
+    """Seconds to run k chained forwards + one scalar fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    sf = 4
+
+    def chain(v, a):
+        def body(_, acc):
+            y = model_apply(v, acc)
+            # feed the output back at input size to chain the dependency
+            return y[:, ::sf, ::sf, :]
+        out = jax.lax.fori_loop(0, k, body, a)
+        return jnp.sum(out)
+
+    fn = jax.jit(chain, static_argnums=())
+    # compile + one execution
+    float(fn(variables, x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(variables, x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kair_tpu.models.swinir import SwinIR
+
+    model = SwinIR(upscale=4, in_chans=3, embed_dim=180, depths=(6,) * 6,
+                   num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0,
+                   upsampler="pixelshuffle", dtype=jnp.bfloat16)
+
+    lr_size = 128
+    batch = 2
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    apply_fn = lambda v, a: model.apply(v, a)
+
+    k_long, k_short = 16, 1
+    t_long = _timed_chain(apply_fn, variables, x, k_long)
+    t_short = _timed_chain(apply_fn, variables, x, k_short)
+    per_iter = max((t_long - t_short) / (k_long - k_short), 1e-9)
+
+    mp_per_s = batch * lr_size * lr_size / per_iter / 1e6
+
+    vs = None
+    try:
+        with open("BASELINE.json") as f:
+            base = json.load(f).get("published") or {}
+        ref = base.get("mp_per_s_per_chip")
+        if ref:
+            vs = round(mp_per_s / ref, 4)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "SwinIR-M x4 SR throughput (LR megapixels/sec/chip, bf16)",
+        "value": round(mp_per_s, 4),
+        "unit": "MP/s/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

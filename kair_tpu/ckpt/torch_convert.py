@@ -300,3 +300,91 @@ def convert_unetres(sd: Dict[str, np.ndarray], nb: int = 4) -> Dict[str, Any]:
         res_blocks(f"m_up{u}", f"up{u}", start=1)
     params["tail"] = {"conv": conv_leaf(sd, "m_tail")}
     return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# USRNet (reference: network_usrnet_v1.py:226-280; zoo: usrnet.pth/usrgan.pth)
+# ----------------------------------------------------------------------------
+
+def convert_usrnet(sd: Dict[str, np.ndarray], n_iter: int = 8,
+                   nb: int = 2) -> Dict[str, Any]:
+    """HyPaNet 1x1 MLP (``h.mlp.{0,2,4}``) + bias-free ResUNet prior
+    (``p.*``, UNetRes layout)."""
+    p_sd = {k[2:]: v for k, v in sd.items() if k.startswith("p.")}
+    prior = convert_unetres(p_sd, nb=nb)["params"]
+    params: Dict[str, Any] = {"p": prior}
+    params["h"] = {
+        "fc1": {"conv": conv_leaf(sd, "h.mlp.0")},
+        "fc2": {"conv": conv_leaf(sd, "h.mlp.2")},
+        "fc3": {"conv": conv_leaf(sd, "h.mlp.4")},
+    }
+    return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# SwinIR (reference: network_swinir.py:618-852; zoo keys 'params'/'params_ema')
+# ----------------------------------------------------------------------------
+
+def _ln(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _dense(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": t_linear(sd[prefix + ".weight"]), "bias": sd[prefix + ".bias"]}
+
+
+def convert_swinir(sd: Dict[str, np.ndarray], depths, upsampler: str = "",
+                   upscale: int = 1, resi_connection: str = "1conv",
+                   patch_norm: bool = True) -> Dict[str, Any]:
+    params: Dict[str, Any] = {"conv_first": {"conv": conv_leaf(sd, "conv_first")}}
+    if patch_norm and "patch_embed.norm.weight" in sd:
+        params["patch_norm"] = _ln(sd, "patch_embed.norm")
+    for il, depth in enumerate(depths):
+        layer: Dict[str, Any] = {}
+        for j in range(depth):
+            p = f"layers.{il}.residual_group.blocks.{j}"
+            blk = {
+                "norm1": _ln(sd, f"{p}.norm1"),
+                "norm2": _ln(sd, f"{p}.norm2"),
+                "qkv_kernel": t_linear(sd[f"{p}.attn.qkv.weight"]),
+                "proj_kernel": t_linear(sd[f"{p}.attn.proj.weight"]),
+                "proj_bias": sd[f"{p}.attn.proj.bias"],
+                "rel_bias_table": sd[f"{p}.attn.relative_position_bias_table"],
+                "fc1": _dense(sd, f"{p}.mlp.fc1"),
+                "fc2": _dense(sd, f"{p}.mlp.fc2"),
+            }
+            if f"{p}.attn.qkv.bias" in sd:
+                blk["qkv_bias"] = sd[f"{p}.attn.qkv.bias"]
+            layer[f"blk{j:02d}"] = blk
+        if resi_connection == "1conv":
+            layer["conv"] = {"conv": conv_leaf(sd, f"layers.{il}.conv")}
+        else:
+            layer["conv_a"] = {"conv": conv_leaf(sd, f"layers.{il}.conv.0")}
+            layer["conv_b"] = {"conv": conv_leaf(sd, f"layers.{il}.conv.2")}
+            layer["conv_c"] = {"conv": conv_leaf(sd, f"layers.{il}.conv.4")}
+        params[f"layer{il}"] = layer
+    params["norm"] = _ln(sd, "norm")
+    if resi_connection == "1conv":
+        params["conv_after_body"] = {"conv": conv_leaf(sd, "conv_after_body")}
+    else:
+        params["cab_a"] = {"conv": conv_leaf(sd, "conv_after_body.0")}
+        params["cab_b"] = {"conv": conv_leaf(sd, "conv_after_body.2")}
+        params["cab_c"] = {"conv": conv_leaf(sd, "conv_after_body.4")}
+
+    if upsampler == "pixelshuffle":
+        params["conv_before_upsample"] = {"conv": conv_leaf(sd, "conv_before_upsample.0")}
+        # Upsample Sequential packs [conv, PixelShuffle] per step
+        conv_ids = sorted({int(k.split(".")[1]) for k in sd
+                           if k.startswith("upsample.") and k.endswith(".weight")})
+        for i, t in enumerate(conv_ids):
+            params[f"upsample{i}"] = {"conv": conv_leaf(sd, f"upsample.{t}")}
+        params["conv_last"] = {"conv": conv_leaf(sd, "conv_last")}
+    elif upsampler == "pixelshuffledirect":
+        params["upsample_direct"] = {"conv": conv_leaf(sd, "upsample.0")}
+    elif upsampler == "nearest+conv":
+        params["conv_before_upsample"] = {"conv": conv_leaf(sd, "conv_before_upsample.0")}
+        for nm in ("conv_up1", "conv_up2", "conv_hr", "conv_last"):
+            params[nm] = {"conv": conv_leaf(sd, nm)}
+    else:
+        params["conv_last"] = {"conv": conv_leaf(sd, "conv_last")}
+    return {"params": params}

@@ -51,23 +51,23 @@ class UNetRes(nn.Module):
 
         def res_stack(h, ch, name):
             for i in range(self.nb):
-                h = ResBlock(ch, mode=mode, dtype=self.dtype,
+                h = ResBlock(ch, mode=mode, bias=self.bias, dtype=self.dtype,
                              name=f"{name}_b{i:02d}")(h, train=train)
             return h
 
         x1 = Conv(self.nc[0], use_bias=self.bias, dtype=self.dtype, name="head")(x0)
-        x2 = down(self.nc[1], 2, "", dtype=self.dtype, name="down1_pool")(
+        x2 = down(self.nc[1], 2, "", bias=self.bias, dtype=self.dtype, name="down1_pool")(
             res_stack(x1, self.nc[0], "down1"), train=train)
-        x3 = down(self.nc[2], 2, "", dtype=self.dtype, name="down2_pool")(
+        x3 = down(self.nc[2], 2, "", bias=self.bias, dtype=self.dtype, name="down2_pool")(
             res_stack(x2, self.nc[1], "down2"), train=train)
-        x4 = down(self.nc[3], 2, "", dtype=self.dtype, name="down3_pool")(
+        x4 = down(self.nc[3], 2, "", bias=self.bias, dtype=self.dtype, name="down3_pool")(
             res_stack(x3, self.nc[2], "down3"), train=train)
         x = res_stack(x4, self.nc[3], "body")
-        x = res_stack(up(self.nc[2], 2, "", dtype=self.dtype, name="up3_up")(x + x4, train=train),
+        x = res_stack(up(self.nc[2], 2, "", bias=self.bias, dtype=self.dtype, name="up3_up")(x + x4, train=train),
                       self.nc[2], "up3")
-        x = res_stack(up(self.nc[1], 2, "", dtype=self.dtype, name="up2_up")(x + x3, train=train),
+        x = res_stack(up(self.nc[1], 2, "", bias=self.bias, dtype=self.dtype, name="up2_up")(x + x3, train=train),
                       self.nc[1], "up2")
-        x = res_stack(up(self.nc[0], 2, "", dtype=self.dtype, name="up1_up")(x + x2, train=train),
+        x = res_stack(up(self.nc[0], 2, "", bias=self.bias, dtype=self.dtype, name="up1_up")(x + x2, train=train),
                       self.nc[0], "up1")
         return Conv(self.out_nc, use_bias=self.bias, dtype=self.dtype,
                     name="tail")(x + x1)

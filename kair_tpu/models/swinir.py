@@ -1,0 +1,237 @@
+"""SwinIR — image restoration with shifted-window transformers
+(reference: models/network_swinir.py:618-852; the benchmark model for the
+≥2× MP/s/chip target, SURVEY.md §7.5).
+
+TPU-native design decisions:
+
+* NHWC feature maps end-to-end; window partition/reverse are reshapes
+  (reference's (B,L,C) token layout + view gymnastics collapse away).
+* shift masks and relative-position indices are numpy constants computed at
+  trace time for the actual static (H, W) — the reference's
+  "if input_resolution == x_size" runtime switch (network_swinir.py:261-265)
+  is unnecessary under XLA's shape specialization.
+* the attention core routes through kair_tpu.ops.window_attention.window_msa
+  which can swap in the Pallas fused kernel (`use_pallas`).
+* exact (erf) GELU to match torch's default — NOT jax's tanh approximation.
+* `jax.checkpoint` per RSTB when remat=True (analog of use_checkpoint,
+  network_swinir.py:447).
+
+Checkpoint parity: the converter maps the released 'params'/'params_ema'
+zoos (main_test_swinir.py:124-177) onto this module.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from kair_tpu.ops.blocks import Conv, pixel_shuffle, upsample_nearest
+from kair_tpu.ops.window_attention import (relative_position_index,
+                                           shift_attn_mask, window_msa,
+                                           window_partition, window_reverse)
+
+_gelu = lambda x: jax.nn.gelu(x, approximate=False)
+
+
+class SwinBlock(nn.Module):
+    """One Swin transformer block: [shift] → W-MSA(+rel-bias,+mask) →
+    [unshift] → residual → LN→MLP→residual (reference
+    SwinTransformerBlock, network_swinir.py:164-277)."""
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+        if min(h, w) <= ws:
+            ws, shift = min(h, w), 0
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, ws)
+
+        n = ws * ws
+        qkv_kernel = self.param("qkv_kernel", nn.initializers.normal(0.02),
+                                (c, 3 * c))
+        qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * c,)) \
+            if self.qkv_bias else None
+        proj_kernel = self.param("proj_kernel", nn.initializers.normal(0.02), (c, c))
+        proj_b = self.param("proj_bias", nn.initializers.zeros, (c,))
+        bias_table = self.param("rel_bias_table", nn.initializers.normal(0.02),
+                                ((2 * ws - 1) * (2 * ws - 1), self.num_heads))
+
+        rel_idx = jnp.asarray(relative_position_index(ws, ws))
+        mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
+
+        xw = window_msa(xw, qkv_kernel, qkv_b, proj_kernel, proj_b,
+                        bias_table, rel_idx, self.num_heads, mask,
+                        use_pallas=self.use_pallas)
+        x = window_reverse(xw, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x
+
+        # MLP
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        hidden = int(c * self.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(y)
+        y = _gelu(y)
+        y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block: depth SwinBlocks (alternating
+    shift 0, ws//2) + conv + residual (reference network_swinir.py:419-494)."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    resi_connection: str = "1conv"
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        for i in range(self.depth):
+            res = SwinBlock(self.dim, self.num_heads, self.window_size,
+                            0 if i % 2 == 0 else self.window_size // 2,
+                            self.mlp_ratio, use_pallas=self.use_pallas,
+                            dtype=self.dtype, name=f"blk{i:02d}")(res, train=train)
+        if self.resi_connection == "1conv":
+            res = Conv(self.dim, dtype=self.dtype, name="conv")(res)
+        else:  # 3conv (network_swinir.py:469-473)
+            res = Conv(self.dim // 4, dtype=self.dtype, name="conv_a")(res)
+            res = nn.leaky_relu(res, 0.2)
+            res = Conv(self.dim // 4, 1, padding=0, dtype=self.dtype, name="conv_b")(res)
+            res = nn.leaky_relu(res, 0.2)
+            res = Conv(self.dim, dtype=self.dtype, name="conv_c")(res)
+        return res + x
+
+
+class SwinIR(nn.Module):
+    """reference network_swinir.py:618-852. Input NHWC with H, W multiples
+    of window_size (pad outside jit; `pad_input` helper below)."""
+    img_size: int = 64
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (6, 6, 6, 6)
+    num_heads: Tuple[int, ...] = (6, 6, 6, 6)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    upscale: int = 2
+    img_range: float = 1.0
+    upsampler: str = ""
+    resi_connection: str = "1conv"
+    ape: bool = False
+    patch_norm: bool = True
+    num_feat: int = 64
+    remat: bool = False
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        assert h % self.window_size == 0 and w % self.window_size == 0, \
+            "pad input to window multiples outside jit (swinir.pad_input)"
+
+        if self.in_chans == 3:
+            mean = jnp.asarray([0.4488, 0.4371, 0.4040], x.dtype)
+        else:
+            mean = jnp.zeros((self.in_chans,), x.dtype)
+        x = (x - mean) * self.img_range
+
+        def features(feat):
+            if self.patch_norm:
+                feat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    name="patch_norm")(feat)
+            for il, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
+                layer = RSTB(self.embed_dim, d, nh, self.window_size,
+                             self.mlp_ratio, self.resi_connection,
+                             use_pallas=self.use_pallas, dtype=self.dtype,
+                             name=f"layer{il}")
+                if self.remat:
+                    feat = nn.remat(lambda m, v: m(v, train=train))(layer, feat)
+                else:
+                    feat = layer(feat, train=train)
+            feat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(feat)
+            return Conv(self.embed_dim, dtype=self.dtype, name="conv_after_body")(feat) \
+                if self.resi_connection == "1conv" else self._conv3(feat)
+
+        if self.upsampler == "pixelshuffle":
+            x = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
+            x = features(x) + x
+            x = nn.leaky_relu(
+                Conv(self.num_feat, dtype=self.dtype, name="conv_before_upsample")(x),
+                0.01)
+            # Upsample: 2^n or 3 (reference network_swinir.py:572-591)
+            s = self.upscale
+            i = 0
+            while s > 1:
+                r = 3 if s % 3 == 0 else 2
+                x = pixel_shuffle(
+                    Conv(self.num_feat * r * r, dtype=self.dtype,
+                         name=f"upsample{i}")(x), r)
+                s //= r
+                i += 1
+            x = Conv(self.in_chans, dtype=self.dtype, name="conv_last")(x)
+        elif self.upsampler == "pixelshuffledirect":
+            x = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
+            x = features(x) + x
+            x = pixel_shuffle(
+                Conv(self.in_chans * self.upscale ** 2, dtype=self.dtype,
+                     name="upsample_direct")(x), self.upscale)
+        elif self.upsampler == "nearest+conv":
+            x = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
+            x = features(x) + x
+            x = nn.leaky_relu(
+                Conv(self.num_feat, dtype=self.dtype, name="conv_before_upsample")(x),
+                0.01)
+            x = nn.leaky_relu(Conv(self.num_feat, dtype=self.dtype, name="conv_up1")(
+                upsample_nearest(x, 2)), 0.2)
+            x = nn.leaky_relu(Conv(self.num_feat, dtype=self.dtype, name="conv_up2")(
+                upsample_nearest(x, 2)), 0.2)
+            x = Conv(self.in_chans, dtype=self.dtype, name="conv_last")(
+                nn.leaky_relu(Conv(self.num_feat, dtype=self.dtype, name="conv_hr")(x), 0.2))
+        else:  # denoise / JPEG CAR
+            x_first = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
+            res = features(x_first) + x_first
+            x = x + Conv(self.in_chans, dtype=self.dtype, name="conv_last")(res)
+
+        return x / self.img_range + mean
+
+    def _conv3(self, feat):
+        feat = Conv(self.embed_dim // 4, dtype=self.dtype, name="cab_a")(feat)
+        feat = nn.leaky_relu(feat, 0.2)
+        feat = Conv(self.embed_dim // 4, 1, padding=0, dtype=self.dtype, name="cab_b")(feat)
+        feat = nn.leaky_relu(feat, 0.2)
+        return Conv(self.embed_dim, dtype=self.dtype, name="cab_c")(feat)
+
+
+def pad_input(x: np.ndarray, window_size: int) -> Tuple[np.ndarray, int, int]:
+    """Reflect-pad NHWC to window multiples (reference check_image_size,
+    network_swinir.py:783-788). Do this OUTSIDE jit; crop the output to
+    (H*scale, W*scale)."""
+    _, h, w, _ = x.shape
+    ph = (window_size - h % window_size) % window_size
+    pw = (window_size - w % window_size) % window_size
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x, h, w

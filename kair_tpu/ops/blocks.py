@@ -223,11 +223,13 @@ class ResBlock(nn.Module):
     kernel_size: int = 3
     mode: str = "CRC"
     negative_slope: float = 0.2
+    bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        res = ConvBlock(self.channels, self.kernel_size, mode=self.mode,
+        res = ConvBlock(self.channels, self.kernel_size, bias=self.bias,
+                        mode=self.mode,
                         negative_slope=self.negative_slope, dtype=self.dtype,
                         name="res")(x, train=train)
         return x + res
@@ -415,12 +417,14 @@ class UpsamplePixelShuffle(nn.Module):
     out_channels: int = 3
     scale: int = 2
     mode: str = ""  # trailing act chars, e.g. 'R'
+    bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvBlock(self.out_channels * self.scale ** 2,
                          mode="C" + str(self.scale) + self.mode,
+                         bias=self.bias,
                          dtype=self.dtype, name="up")(x, train=train)
 
 
@@ -429,12 +433,14 @@ class UpsampleUpConv(nn.Module):
     out_channels: int = 3
     scale: int = 2
     mode: str = ""
+    bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         uc = {2: "U", 3: "u", 4: "v"}[self.scale]
         return ConvBlock(self.out_channels, mode=uc + "C" + self.mode,
+                         bias=self.bias,
                          dtype=self.dtype, name="up")(x, train=train)
 
 
@@ -444,12 +450,13 @@ class UpsampleConvTranspose(nn.Module):
     out_channels: int = 3
     scale: int = 2
     mode: str = ""
+    bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvBlock(self.out_channels, kernel_size=self.scale,
-                         stride=self.scale, padding=0,
+                         stride=self.scale, padding=0, bias=self.bias,
                          mode="T" + self.mode, dtype=self.dtype,
                          name="up")(x, train=train)
 
@@ -459,12 +466,13 @@ class DownsampleStrideConv(nn.Module):
     out_channels: int = 64
     scale: int = 2
     mode: str = ""
+    bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvBlock(self.out_channels, kernel_size=self.scale,
-                         stride=self.scale, padding=0,
+                         stride=self.scale, padding=0, bias=self.bias,
                          mode="C" + self.mode, dtype=self.dtype,
                          name="down")(x, train=train)
 

@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL distributed layer (utils/utils_dist.py:13-200).
+
+Design: ONE global `Mesh` with axes
+  'data'  — batch (data parallel; grad averaging is an XLA psum inside the
+            jitted train step, replacing DDP backward hooks)
+  'tile'  — spatial tile axis for sharded halo-tiled inference
+            (kair_tpu.parallel.tiled) — the axis the reference scales by
+            host-side overlap-tiling loops (model_vrt.py:114-223)
+
+No rank/world bookkeeping, no collective wrappers: jax.distributed handles
+multihost bootstrap; shardings are data placement annotations and XLA
+inserts the collectives (psum/all_gather) over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, tile: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'tile') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // tile
+    assert data * tile == n, f"mesh {data}x{tile} != {n} devices"
+    arr = np.asarray(devices).reshape(data, tile)
+    return Mesh(arr, ("data", "tile"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over 'data' (per-device batch = global/num_devices,
+    the reference's per-rank split, main_train_psnr.py:126-130)."""
+    return NamedSharding(mesh, P(("data", "tile")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place numpy batch arrays with batch-dim sharding, rest replicated."""
+    bs = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= 1:
+            out[k] = jax.device_put(v, bs)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a TrainState pytree across the mesh (params live replicated
+    for data-parallel; tensor-parallel shardings would annotate here)."""
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)

@@ -69,5 +69,65 @@ def main():
     dump("unetres", UNetRes(3, 3, [16, 32, 64, 128], 2), x64)
 
 
+def usrnet_fixture():
+    """Separate multi-input fixture for USRNet (x, k, sf, sigma)."""
+    torch.manual_seed(3)
+    rng = np.random.RandomState(3)
+    from models.network_usrnet_v1 import USRNet as TorchUSRNet
+    net = TorchUSRNet(n_iter=4, h_nc=16, in_nc=4, out_nc=3,
+                      nc=[8, 16, 32, 64], nb=2)
+    net.eval()
+    x = rng.rand(1, 3, 16, 16).astype(np.float32)
+    k = rng.rand(1, 1, 7, 7).astype(np.float32)
+    k /= k.sum()
+    sigma = np.full((1, 1, 1, 1), 10 / 255.0, np.float32)
+    with torch.no_grad():
+        out = net(torch.from_numpy(x), torch.from_numpy(k), 2,
+                  torch.from_numpy(sigma))
+    sd = {kk: v.numpy() for kk, v in net.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(FIX, "model_usrnet.npz"),
+        out=out.numpy(), x=x, k=k, sigma=sigma,
+        **{f"sd.{kk}": v for kk, v in sd.items()})
+    print(f"usrnet: out {tuple(out.shape)}")
+
+
+
+
+def swinir_fixtures():
+    """Random-init reference SwinIR at three head configs."""
+    from models.network_swinir import SwinIR as TorchSwinIR
+    rng = np.random.RandomState(5)
+
+    cfgs = {
+        "swinir_dn": dict(upscale=1, img_size=32, window_size=8, img_range=1.0,
+                          depths=[2, 2], embed_dim=24, num_heads=[4, 4],
+                          mlp_ratio=2, upsampler="", in_chans=1),
+        "swinir_light": dict(upscale=4, img_size=16, window_size=8, img_range=1.0,
+                             depths=[2, 2], embed_dim=24, num_heads=[4, 4],
+                             mlp_ratio=2, upsampler="pixelshuffledirect", in_chans=3),
+        "swinir_classical": dict(upscale=4, img_size=16, window_size=8, img_range=1.0,
+                                 depths=[2, 2], embed_dim=24, num_heads=[4, 4],
+                                 mlp_ratio=2, upsampler="pixelshuffle",
+                                 resi_connection="1conv", in_chans=3),
+    }
+    for name, cfg in cfgs.items():
+        torch.manual_seed(7)
+        net = TorchSwinIR(**cfg)
+        net.eval()
+        # H=W=16 or 32, multiples of window 8
+        size = 32 if cfg["upscale"] == 1 else 16
+        x = rng.rand(1, cfg["in_chans"], size, size).astype(np.float32)
+        with torch.no_grad():
+            out = net(torch.from_numpy(x))
+        sd = {k: v.numpy() for k, v in net.state_dict().items()}
+        np.savez_compressed(
+            os.path.join(FIX, f"model_{name}.npz"), out=out.numpy(), in0=x,
+            **{f"sd.{k}": v for k, v in sd.items()})
+        print(f"{name}: out {tuple(out.shape)}")
+
+
 if __name__ == "__main__":
     main()
+    usrnet_fixture()
+    swinir_fixtures()

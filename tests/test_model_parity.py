@@ -68,3 +68,45 @@ def test_ffdnet_parity():
     model = FFDNet(1, 1, 64, 6)
     got = np.asarray(model.apply(variables, nchw(ins[0]), ins[1]))
     np.testing.assert_allclose(got, nchw(want), atol=5e-5)
+
+
+def test_usrnet_parity():
+    """USRNet deep-unfolding (FFT data step + bias-free ResUNet prior)."""
+    import jax
+    from kair_tpu.models.usrnet import USRNet
+
+    z = np.load(FIXTURES / "model_usrnet.npz")
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd.")}
+    variables = tc.convert_usrnet(sd, n_iter=4, nb=2)
+    model = USRNet(n_iter=4, h_nc=16, in_nc=4, out_nc=3,
+                   nc=(8, 16, 32, 64), nb=2)
+    got = np.asarray(model.apply(
+        variables, nchw(z["x"]), z["k"].transpose(0, 2, 3, 1), 2,
+        z["sigma"].transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, nchw(z["out"]), atol=1e-4)
+
+
+SWINIR_CASES = [
+    ("swinir_dn", dict(upscale=1, in_chans=1, embed_dim=24, depths=(2, 2),
+                       num_heads=(4, 4), window_size=8, mlp_ratio=2.0,
+                       upsampler="")),
+    ("swinir_light", dict(upscale=4, in_chans=3, embed_dim=24, depths=(2, 2),
+                          num_heads=(4, 4), window_size=8, mlp_ratio=2.0,
+                          upsampler="pixelshuffledirect")),
+    ("swinir_classical", dict(upscale=4, in_chans=3, embed_dim=24, depths=(2, 2),
+                              num_heads=(4, 4), window_size=8, mlp_ratio=2.0,
+                              upsampler="pixelshuffle")),
+]
+
+
+@pytest.mark.parametrize("name,cfg", SWINIR_CASES, ids=[c[0] for c in SWINIR_CASES])
+def test_swinir_parity(name, cfg):
+    from kair_tpu.models.swinir import SwinIR
+
+    sd, ins, want = load(name)
+    variables = tc.convert_swinir(sd, depths=cfg["depths"],
+                                  upsampler=cfg["upsampler"],
+                                  upscale=cfg["upscale"])
+    model = SwinIR(**cfg)
+    got = np.asarray(model.apply(variables, nchw(ins[0])))
+    np.testing.assert_allclose(got, nchw(want), atol=2e-4)
