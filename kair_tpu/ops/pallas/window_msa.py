@@ -1,0 +1,182 @@
+"""Pallas fused window multi-head self-attention (TPU).
+
+Replaces the XLA einsum chain in kair_tpu.ops.window_attention.window_msa
+(the SwinIR/VRT hot loop, reference network_swinir.py:105-145) with ONE
+kernel per window-pair:
+
+* two ws²=64-token windows are packed into a 128-row tile — the MXU's
+  native M dimension — and attention over the pair is computed as a single
+  (128,128) score matmul with a block-diagonal −1e9 mask (off-diagonal
+  probabilities vanish in the softmax, so one (128,128)@(128,hd) PV matmul
+  serves both windows);
+* per-head q/k/v projections are taken by slicing the WEIGHTS host-side
+  (static (nh, C, hd_pad) layout, hd padded to 32 lanes) instead of lane-
+  slicing activations inside the kernel;
+* relative-position bias and the shifted-window mask are folded into the
+  score bias in VMEM — no HBM round-trips between qkv, scores, softmax,
+  PV, and the output projection.
+
+Numerics match the XLA path to ~1e-5 (see tests/test_pallas.py); softmax
+runs in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HD_PAD = 32
+_NEG = -1e9
+
+
+def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+            wp_ref, bp_ref, bias_ref, out_ref, *, num_heads: int,
+            scale: float):
+    """One window pair: x (1,128,C) → out (1,128,C)."""
+    x = x_ref[0]                                   # (128, C)
+    dtype = x.dtype
+
+    def head(h, _):
+        wq = wq_ref[h]                             # (C, 32)
+        wk = wk_ref[h]
+        wv = wv_ref[h]
+        q = (jnp.dot(x, wq, preferred_element_type=jnp.float32)
+             + bq_ref[h]) * scale                  # (128, 32) f32
+        k = jnp.dot(x, wk, preferred_element_type=jnp.float32) + bk_ref[h]
+        v = jnp.dot(x, wv, preferred_element_type=jnp.float32) + bv_ref[h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (128, 128)
+        s = s + bias_ref[0, h]                      # rel-bias + shift + blockdiag
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.dot(p.astype(dtype), v.astype(dtype),
+                    preferred_element_type=jnp.float32)   # (128, 32)
+        return o
+
+    outs = [head(h, None) for h in range(num_heads)]
+    acc = jnp.concatenate(outs, axis=-1).astype(dtype)    # (128, nh*32)
+    y = jnp.dot(acc, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
+    out_ref[0] = y.astype(dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _blockdiag_neg(n: int = 64) -> np.ndarray:
+    m = np.full((2 * n, 2 * n), _NEG, np.float32)
+    m[:n, :n] = 0.0
+    m[n:, n:] = 0.0
+    return m
+
+
+def pack_weights(qkv_kernel, qkv_bias, proj_kernel, num_heads: int):
+    """Host-side relayout: (C,3C) qkv → per-head padded (nh,C,32) blocks and
+    (nh*32, C) projection with zero pad rows."""
+    c = qkv_kernel.shape[0]
+    hd = c // num_heads
+    wq, wk, wv = jnp.split(qkv_kernel, 3, axis=1)          # (C, C) each
+
+    def to_heads(w):
+        w = w.reshape(c, num_heads, hd).transpose(1, 0, 2)  # (nh, C, hd)
+        return jnp.pad(w, ((0, 0), (0, 0), (0, _HD_PAD - hd)))
+
+    if qkv_bias is None:
+        qkv_bias = jnp.zeros((3 * c,), qkv_kernel.dtype)
+    bq, bk, bv = jnp.split(qkv_bias, 3)
+
+    def to_head_bias(b):
+        b = b.reshape(num_heads, hd)
+        return jnp.pad(b, ((0, 0), (0, _HD_PAD - hd)))
+
+    # proj: input rows follow concat([head0(32), head1(32), ...]) layout
+    wp = proj_kernel.reshape(num_heads, hd, c)
+    wp = jnp.pad(wp, ((0, 0), (0, _HD_PAD - hd), (0, 0)))
+    wp = wp.reshape(num_heads * _HD_PAD, c)
+
+    return (to_heads(wq), to_heads(wk), to_heads(wv),
+            to_head_bias(bq), to_head_bias(bk), to_head_bias(bv), wp)
+
+
+def make_pair_bias(bias_table, rel_index, num_heads: int,
+                   mask: Optional[jnp.ndarray], n_pairs_per_batch: int):
+    """(n_pairs, nh, 128, 128) f32 score bias: rel-pos bias on the diagonal
+    64-blocks (+ per-window shift mask), −1e9 off-diagonal."""
+    n = rel_index.shape[0]
+    rel = bias_table[rel_index.reshape(-1)].reshape(n, n, num_heads)
+    rel = rel.transpose(2, 0, 1).astype(jnp.float32)        # (nh, 64, 64)
+    if mask is None:
+        per_win = jnp.broadcast_to(rel[None], (2 * n_pairs_per_batch, num_heads, n, n))
+    else:
+        per_win = rel[None] + mask[:, None].astype(jnp.float32)
+    w0 = per_win[0::2]                                       # (n_pairs, nh, n, n)
+    w1 = per_win[1::2]
+    top = jnp.concatenate([w0, jnp.full_like(w0, _NEG)], axis=-1)
+    bot = jnp.concatenate([jnp.full_like(w1, _NEG), w1], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def window_msa_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+                      bias_table, rel_index, num_heads: int,
+                      mask=None, interpret: bool = False):
+    """Drop-in for window_attention.window_msa (same signature).
+
+    xw (B, nW, N, C) with N = ws²; nW must be even (guaranteed for
+    H, W multiples of window size with ≥2 windows)."""
+    b, nw, n, c = xw.shape
+    if nw % 2 != 0 or n % 64 != 0 or n != 64:
+        # fall back to the XLA path for odd geometries
+        from kair_tpu.ops.window_attention import window_msa
+        return window_msa(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+                          bias_table, rel_index, num_heads, mask,
+                          use_pallas=False)
+
+    hd = c // num_heads
+    scale = hd ** -0.5
+    n_pairs = nw // 2
+
+    wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
+                                              proj_kernel, num_heads)
+    pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask, n_pairs)
+
+    x_pairs = xw.reshape(b * n_pairs, 2 * n, c)
+
+    grid = (b * n_pairs,)
+    kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2 * n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wk
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bk
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
+            pl.BlockSpec((1, num_heads, 2 * n, 2 * n),
+                         lambda i: (jax.lax.rem(i, n_pairs), 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # pair bias
+        ],
+        out_specs=pl.BlockSpec((1, 2 * n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n_pairs, 2 * n, c), xw.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_pairs * (2 * 128 * c * 3 * num_heads * _HD_PAD +
+                                 num_heads * 4 * 128 * 128 * _HD_PAD +
+                                 2 * 128 * num_heads * _HD_PAD * c),
+            bytes_accessed=b * n_pairs * 128 * c * 4 * 2,
+            transcendentals=b * n_pairs * num_heads * 128 * 128,
+        ),
+    )(x_pairs, wq, wk, wv, bq, bk, bv, wp,
+      proj_bias.astype(jnp.float32), pair_bias)
+
+    return out.reshape(b, nw, n, c)

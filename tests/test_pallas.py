@@ -1,0 +1,81 @@
+"""Pallas window-MSA kernel vs the XLA reference path (interpret mode on
+CPU; the real-TPU run happens in bench/verify)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kair_tpu.ops.pallas.window_msa import window_msa_pallas
+from kair_tpu.ops.window_attention import (relative_position_index,
+                                           shift_attn_mask, window_msa)
+
+
+def _setup(b=1, nw=4, n=64, c=60, nh=6, seed=0):
+    rng = np.random.RandomState(seed)
+    xw = jnp.asarray(rng.randn(b, nw, n, c).astype(np.float32) * 0.5)
+    qkv_k = jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.05)
+    qkv_b = jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.05)
+    pk = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05)
+    pb = jnp.asarray(rng.randn(c).astype(np.float32) * 0.05)
+    ws = int(np.sqrt(n))
+    bt = jnp.asarray(rng.randn((2 * ws - 1) ** 2, nh).astype(np.float32) * 0.05)
+    ri = jnp.asarray(relative_position_index(ws, ws))
+    return xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, ws
+
+
+def test_pallas_matches_xla_nomask():
+    xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, ws = _setup()
+    want = window_msa(xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, None)
+    got = window_msa_pallas(xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, None,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_matches_xla_shifted_mask():
+    xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, ws = _setup(b=2, nw=8)
+    # 8 windows ⇔ 16x32 image of 8-px windows; shift 4
+    mask = jnp.asarray(shift_attn_mask(16, 32, ws, ws // 2))
+    assert mask.shape[0] == 8
+    want = window_msa(xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, mask)
+    got = window_msa_pallas(xw, qkv_k, qkv_b, pk, pb, bt, ri, nh, mask,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_no_qkv_bias():
+    xw, qkv_k, _, pk, pb, bt, ri, nh, ws = _setup()
+    want = window_msa(xw, qkv_k, None, pk, pb, bt, ri, nh, None)
+    got = window_msa_pallas(xw, qkv_k, None, pk, pb, bt, ri, nh, None,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_swinir_with_pallas_flag_matches():
+    """SwinIR(use_pallas=True) == SwinIR(use_pallas=False) in interpret mode.
+
+    The flag routes through ops.window_attention.window_msa(use_pallas=...),
+    so patch the pallas entry to interpret mode for CPU."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR
+    import kair_tpu.ops.pallas.window_msa as pm
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 1), jnp.float32)
+    ref_model = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+                       num_heads=(4,), window_size=8, mlp_ratio=2.0,
+                       upsampler="", use_pallas=False)
+    variables = ref_model.init(jax.random.PRNGKey(0), x)
+    want = ref_model.apply(variables, x)
+
+    orig = pm.window_msa_pallas
+    with mock.patch.object(pm, "window_msa_pallas",
+                           lambda *a, **kw: orig(*a, **{**kw, "interpret": True})):
+        pl_model = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+                          num_heads=(4,), window_size=8, mlp_ratio=2.0,
+                          upsampler="", use_pallas=True)
+        got = pl_model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
