@@ -37,32 +37,37 @@ _NEG = -1e9
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref, out_ref, *, num_heads: int,
-            scale: float):
-    """One window pair: x (1,128,C) → out (1,128,C)."""
-    x = x_ref[0]                                   # (128, C)
+            scale: float, pairs_per_block: int, bias_is_constant: bool):
+    """G window pairs per program: x (G,128,C) → out (G,128,C)."""
+    g_blk = pairs_per_block
+    c = x_ref.shape[-1]
+    x = x_ref[:].reshape(g_blk * 128, c)           # (G*128, C)
     dtype = x.dtype
 
-    def head(h, _):
-        wq = wq_ref[h]                             # (C, 32)
-        wk = wk_ref[h]
-        wv = wv_ref[h]
-        q = (jnp.dot(x, wq, preferred_element_type=jnp.float32)
-             + bq_ref[h]) * scale                  # (128, 32) f32
-        k = jnp.dot(x, wk, preferred_element_type=jnp.float32) + bk_ref[h]
-        v = jnp.dot(x, wv, preferred_element_type=jnp.float32) + bv_ref[h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (128, 128)
-        s = s + bias_ref[0, h]                      # rel-bias + shift + blockdiag
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.dot(p.astype(dtype), v.astype(dtype),
-                    preferred_element_type=jnp.float32)   # (128, 32)
-        return o
+    def head(h):
+        q = (jnp.dot(x, wq_ref[h], preferred_element_type=jnp.float32)
+             + bq_ref[h]) * scale                  # (G*128, 32) f32
+        k = jnp.dot(x, wk_ref[h], preferred_element_type=jnp.float32) + bk_ref[h]
+        v = (jnp.dot(x, wv_ref[h], preferred_element_type=jnp.float32)
+             + bv_ref[h]).astype(dtype)
+        outs = []
+        for g in range(g_blk):
+            qg = q[g * 128:(g + 1) * 128]
+            kg = k[g * 128:(g + 1) * 128]
+            s = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (128, 128)
+            bias = bias_ref[0, h] if bias_is_constant else bias_ref[g, h]
+            s = s + bias.astype(jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)
+            outs.append(jnp.dot(p.astype(dtype), v[g * 128:(g + 1) * 128],
+                                preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=0)            # (G*128, 32)
 
-    outs = [head(h, None) for h in range(num_heads)]
-    acc = jnp.concatenate(outs, axis=-1).astype(dtype)    # (128, nh*32)
+    acc = jnp.concatenate([head(h) for h in range(num_heads)],
+                          axis=-1).astype(dtype)        # (G*128, nh*32)
     y = jnp.dot(acc, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
-    out_ref[0] = y.astype(dtype)
+    out_ref[:] = y.astype(dtype).reshape(g_blk, 128, c)
 
 
 @functools.lru_cache(maxsize=16)
@@ -138,20 +143,43 @@ def window_msa_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     scale = hd ** -0.5
     n_pairs = nw // 2
 
+    # pairs per program: amortise per-program overheads; must divide n_pairs
+    g_blk = 1
+    for cand in (8, 4, 2):
+        if n_pairs % cand == 0:
+            g_blk = cand
+            break
+
     wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
                                               proj_kernel, num_heads)
-    pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask, n_pairs)
+    pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
+                               n_pairs).astype(jnp.bfloat16)
+    bias_is_constant = mask is None
+    if bias_is_constant:
+        pair_bias = pair_bias[:1]                  # identical for every pair
 
     x_pairs = xw.reshape(b * n_pairs, 2 * n, c)
 
-    grid = (b * n_pairs,)
-    kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale)
+    grid = (b * n_pairs // g_blk,)
+    kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale,
+                               pairs_per_block=g_blk,
+                               bias_is_constant=bias_is_constant)
+
+    if bias_is_constant:
+        bias_spec = pl.BlockSpec((1, num_heads, 2 * n, 2 * n),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        n_bias_blocks = n_pairs // g_blk
+        bias_spec = pl.BlockSpec((g_blk, num_heads, 2 * n, 2 * n),
+                                 lambda i: (jax.lax.rem(i, n_bias_blocks), 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * n, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((g_blk, 2 * n, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wq
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wk
@@ -161,11 +189,9 @@ def window_msa_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
-            pl.BlockSpec((1, num_heads, 2 * n, 2 * n),
-                         lambda i: (jax.lax.rem(i, n_pairs), 0, 0, 0),
-                         memory_space=pltpu.VMEM),  # pair bias
+            bias_spec,
         ],
-        out_specs=pl.BlockSpec((1, 2 * n, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g_blk, 2 * n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * n_pairs, 2 * n, c), xw.dtype),
         interpret=interpret,
