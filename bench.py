@@ -60,16 +60,17 @@ def main():
 
     model = SwinIR(upscale=4, in_chans=3, embed_dim=180, depths=(6,) * 6,
                    num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0,
-                   upsampler="pixelshuffle", dtype=jnp.bfloat16)
+                   upsampler="pixelshuffle", dtype=jnp.bfloat16,
+                   use_pallas=True)
 
     lr_size = 128
-    batch = 2
+    batch = 8
     x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3),
                     jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     apply_fn = lambda v, a: model.apply(v, a)
 
-    k_long, k_short = 16, 1
+    k_long, k_short = 8, 1
     t_long = _timed_chain(apply_fn, variables, x, k_long)
     t_short = _timed_chain(apply_fn, variables, x, k_short)
     per_iter = max((t_long - t_short) / (k_long - k_short), 1e-9)
