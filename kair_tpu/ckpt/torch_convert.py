@@ -388,3 +388,120 @@ def convert_swinir(sd: Dict[str, np.ndarray], depths, upsampler: str = "",
     else:
         params["conv_last"] = {"conv": conv_leaf(sd, "conv_last")}
     return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# SpyNet + VRT (reference: network_vrt.py; zoo: 001_VRT_*.pth etc.)
+# ----------------------------------------------------------------------------
+
+def t_conv3d_133(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d weight (O,I,1,kh,kw) → 2-D HWIO (per-frame conv)."""
+    assert w.shape[2] == 1
+    return np.ascontiguousarray(w[:, :, 0].transpose(2, 3, 1, 0))
+
+
+def convert_spynet(sd: Dict[str, np.ndarray],
+                   prefix: str = "") -> Dict[str, Any]:
+    """basic_module.{i}.basic_module.{0,2,4,6,8} 7x7 convs
+    (network_vrt.py:342-357)."""
+    params: Dict[str, Any] = {}
+    for i in range(6):
+        mod = {}
+        for j, t in enumerate(range(0, 9, 2)):
+            mod[f"conv{j}"] = {"conv": conv_leaf(
+                sd, f"{prefix}basic_module.{i}.basic_module.{t}")}
+        params[f"basic{i}"] = mod
+    return params
+
+
+def _vrt_tmsa_block(sd, p, mut_attn):
+    blk = {
+        "norm1": _ln(sd, f"{p}.norm1"),
+        "norm2": _ln(sd, f"{p}.norm2"),
+        "attn": {
+            "rel_bias_table": sd[f"{p}.attn.relative_position_bias_table"],
+            "qkv_self_kernel": t_linear(sd[f"{p}.attn.qkv_self.weight"]),
+            "proj_kernel": t_linear(sd[f"{p}.attn.proj.weight"]),
+            "proj_bias": sd[f"{p}.attn.proj.bias"],
+        },
+        "mlp": {"fc11": _dense(sd, f"{p}.mlp.fc11"),
+                "fc12": _dense(sd, f"{p}.mlp.fc12"),
+                "fc2": _dense(sd, f"{p}.mlp.fc2")},
+    }
+    if f"{p}.attn.qkv_self.bias" in sd:
+        blk["attn"]["qkv_self_bias"] = sd[f"{p}.attn.qkv_self.bias"]
+    if mut_attn:
+        blk["attn"]["qkv_mut_kernel"] = t_linear(sd[f"{p}.attn.qkv_mut.weight"])
+        if f"{p}.attn.qkv_mut.bias" in sd:
+            blk["attn"]["qkv_mut_bias"] = sd[f"{p}.attn.qkv_mut.bias"]
+    return blk
+
+
+def _vrt_tmsag(sd, p, depth, mut_attn):
+    return {f"blk{j:02d}": _vrt_tmsa_block(sd, f"{p}.blocks.{j}", mut_attn)
+            for j in range(depth)}
+
+
+def convert_vrt(sd: Dict[str, np.ndarray], depths, mul_attn_ratio=0.75,
+                pa_frames=2, upscale=4) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    params["conv_first"] = {"conv": {"kernel": t_conv3d_133(sd["conv_first.weight"]),
+                                     "bias": sd["conv_first.bias"]}}
+    if pa_frames:
+        params["spynet"] = convert_spynet(sd, "spynet.")
+
+    reshapes = ["none", "down", "down", "down", "up", "up", "up"]
+    for i in range(7):
+        p = f"stage{i + 1}"
+        st: Dict[str, Any] = {}
+        if reshapes[i] == "none":
+            st["resh_norm"] = _ln(sd, f"{p}.reshape.1")
+        else:
+            st["resh_norm"] = _ln(sd, f"{p}.reshape.1")
+            st["resh_linear"] = _dense(sd, f"{p}.reshape.2")
+        d1 = int(depths[i] * mul_attn_ratio)
+        st["group1"] = _vrt_tmsag(sd, f"{p}.residual_group1", d1, True)
+        st["group2"] = _vrt_tmsag(sd, f"{p}.residual_group2", depths[i] - d1, False)
+        st["linear1"] = _dense(sd, f"{p}.linear1")
+        st["linear2"] = _dense(sd, f"{p}.linear2")
+        if pa_frames:
+            st["pa_deform"] = {
+                "dcn_kernel": t_conv(sd[f"{p}.pa_deform.weight"]),
+                "dcn_bias": sd[f"{p}.pa_deform.bias"],
+                "off0": {"conv": conv_leaf(sd, f"{p}.pa_deform.conv_offset.0")},
+                "off1": {"conv": conv_leaf(sd, f"{p}.pa_deform.conv_offset.2")},
+                "off2": {"conv": conv_leaf(sd, f"{p}.pa_deform.conv_offset.4")},
+                "off3": conv_leaf(sd, f"{p}.pa_deform.conv_offset.6"),
+            }
+            st["pa_fuse"] = {"fc11": _dense(sd, f"{p}.pa_fuse.fc11"),
+                             "fc12": _dense(sd, f"{p}.pa_fuse.fc12"),
+                             "fc2": _dense(sd, f"{p}.pa_fuse.fc2")}
+        params[f"stage{i + 1}"] = st
+
+    params["stage8_norm"] = _ln(sd, "stage8.0.1")
+    params["stage8_linear"] = _dense(sd, "stage8.0.2")
+    for j in range(7, len(depths)):
+        idx = j - 6          # stage8 ModuleList: [head, RTMSA...]
+        params[f"stage8_{j - 7}"] = {
+            "group": _vrt_tmsag(sd, f"stage8.{idx}.residual_group", depths[j], False),
+            "linear": _dense(sd, f"stage8.{idx}.linear"),
+        }
+    params["norm"] = _ln(sd, "norm")
+    params["conv_after_body"] = _dense(sd, "conv_after_body")
+
+    if upscale > 1:
+        params["conv_before_upsample"] = {"conv": {
+            "kernel": t_conv3d_133(sd["conv_before_upsample.0.weight"]),
+            "bias": sd["conv_before_upsample.0.bias"]}}
+        up_ids = sorted({int(k.split(".")[1]) for k in sd
+                         if k.startswith("upsample.") and k.endswith(".weight")})
+        for u, t in enumerate(up_ids[:-1]):
+            params[f"upsample{u}"] = {"conv": {
+                "kernel": t_conv3d_133(sd[f"upsample.{t}.weight"]),
+                "bias": sd[f"upsample.{t}.bias"]}}
+        params["upsample_tail"] = {"conv": {
+            "kernel": t_conv3d_133(sd[f"upsample.{up_ids[-1]}.weight"]),
+            "bias": sd[f"upsample.{up_ids[-1]}.bias"]}}
+    params["conv_last"] = {"conv": {"kernel": t_conv3d_133(sd["conv_last.weight"]),
+                                    "bias": sd["conv_last.bias"]}}
+    return {"params": params}

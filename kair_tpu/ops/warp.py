@@ -1,0 +1,181 @@
+"""Spatial sampling ops: grid_sample, flow_warp, modulated deformable conv.
+
+TPU-native counterparts of the reference's warping stack:
+  flow_warp / grid_sample  network_vrt.py:208-264 (torch F.grid_sample,
+      align_corners=True default, bilinear/nearest/nearest4)
+  modulated deformable conv (DCNv2)  network_vrt.py:20-89 +
+      torchvision.ops.deform_conv2d call at network_vrt.py:337
+
+Design: all sampling is expressed as vectorised bilinear gathers
+(one-hot-free `take_along_axis` on a flattened spatial axis) + einsum —
+XLA lowers gathers efficiently on TPU and fuses the corner-weight
+arithmetic; the K=kh*kw deformable taps become a (N,H,W,K,Cin) gather
+followed by one big (K*Cin → Cout) contraction on the MXU, replacing the
+reference's im2col CUDA kernels (deform_attn_cuda_kernel.cu:191).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_2d(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """x (N,H,W,C); iy/ix (N,Ho,Wo) int32 (assumed in-bounds) →
+    (N,Ho,Wo,C)."""
+    n, h, w, c = x.shape
+    flat = x.reshape(n, h * w, c)
+    idx = (iy * w + ix).reshape(n, -1, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(n, iy.shape[1], iy.shape[2], c)
+
+
+def _sample_bilinear(x, fy, fx, padding_mode: str):
+    """Bilinear sample at float pixel coords fy/fx (N,Ho,Wo) → (N,Ho,Wo,C).
+    padding 'zeros' | 'border'."""
+    n, h, w, c = x.shape
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+
+    def corner(yc, xc):
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        v = _gather_2d(x, yi, xi)
+        if padding_mode == "zeros":
+            valid = ((yc >= 0) & (yc <= h - 1) & (xc >= 0) & (xc <= w - 1))
+            v = v * valid[..., None].astype(v.dtype)
+        return v
+
+    v00 = corner(y0, x0)
+    v01 = corner(y0, x0 + 1)
+    v10 = corner(y0 + 1, x0)
+    v11 = corner(y0 + 1, x0 + 1)
+    wx = wx.astype(x.dtype)
+    wy = wy.astype(x.dtype)
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+            v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+def _sample_nearest(x, fy, fx, padding_mode: str):
+    n, h, w, c = x.shape
+    yr = jnp.round(fy)
+    xr = jnp.round(fx)
+    yi = jnp.clip(yr, 0, h - 1).astype(jnp.int32)
+    xi = jnp.clip(xr, 0, w - 1).astype(jnp.int32)
+    v = _gather_2d(x, yi, xi)
+    if padding_mode == "zeros":
+        valid = ((yr >= 0) & (yr <= h - 1) & (xr >= 0) & (xr <= w - 1))
+        v = v * valid[..., None].astype(v.dtype)
+    return v
+
+
+def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
+                padding_mode: str = "zeros",
+                align_corners: bool = True) -> jnp.ndarray:
+    """torch F.grid_sample on NHWC. grid (N,Ho,Wo,2) in [-1,1], (x,y) order."""
+    n, h, w, c = x.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        fx = (gx + 1) * 0.5 * (w - 1)
+        fy = (gy + 1) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1) * w - 1) * 0.5
+        fy = ((gy + 1) * h - 1) * 0.5
+    if mode == "bilinear":
+        return _sample_bilinear(x, fy, fx, padding_mode)
+    if mode == "nearest":
+        return _sample_nearest(x, fy, fx, padding_mode)
+    raise NotImplementedError(mode)
+
+
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, interp_mode: str = "bilinear",
+              padding_mode: str = "zeros",
+              align_corners: bool = True) -> jnp.ndarray:
+    """Warp NHWC x by flow (N,H,W,2) in pixels, (x,y) order
+    (reference network_vrt.py:208-264)."""
+    n, h, w, _ = x.shape
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype),
+                          jnp.arange(w, dtype=flow.dtype), indexing="ij")
+    vx = gx[None] + flow[..., 0]
+    vy = gy[None] + flow[..., 1]
+
+    if interp_mode == "nearest4":
+        # 4 nearest-corner samples stacked on channels; reference channel
+        # order (floorx,floory),(floorx,ceily),(ceilx,floory),(ceilx,ceily)
+        # (network_vrt.py:242-253)
+        o00 = _sample_nearest(x, jnp.floor(vy), jnp.floor(vx), padding_mode)
+        o01 = _sample_nearest(x, jnp.ceil(vy), jnp.floor(vx), padding_mode)
+        o10 = _sample_nearest(x, jnp.floor(vy), jnp.ceil(vx), padding_mode)
+        o11 = _sample_nearest(x, jnp.ceil(vy), jnp.ceil(vx), padding_mode)
+        return jnp.concatenate([o00, o01, o10, o11], axis=-1)
+
+    if interp_mode == "bilinear":
+        return _sample_bilinear(x, vy, vx, padding_mode)
+    if interp_mode == "nearest":
+        return _sample_nearest(x, vy, vx, padding_mode)
+    raise NotImplementedError(interp_mode)
+
+
+def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
+                          mask: jnp.ndarray, weight: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          stride: int = 1, padding: int = 1,
+                          dilation: int = 1,
+                          deformable_groups: int = 1) -> jnp.ndarray:
+    """DCNv2 (torchvision deform_conv2d semantics) on NHWC.
+
+    x      (N, H, W, Cin)
+    offset (N, Ho, Wo, dg*2*K)  — torch layout: per group, K y-offsets
+           interleaved (y,x) pairs: channel 2k = Δy_k, 2k+1 = Δx_k
+    mask   (N, Ho, Wo, dg*K)    — already sigmoided
+    weight (kh, kw, Cin, Cout)  HWIO
+    """
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    K = kh * kw
+    dg = deformable_groups
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+
+    base_y = jnp.arange(ho, dtype=x.dtype) * stride - padding
+    base_x = jnp.arange(wo, dtype=x.dtype) * stride - padding
+    gy, gx = jnp.meshgrid(base_y, base_x, indexing="ij")        # (Ho,Wo)
+    ky, kx = jnp.meshgrid(jnp.arange(kh, dtype=x.dtype) * dilation,
+                          jnp.arange(kw, dtype=x.dtype) * dilation,
+                          indexing="ij")
+    ky = ky.reshape(-1)                                          # (K,)
+    kx = kx.reshape(-1)
+
+    off = offset.reshape(n, ho, wo, dg, K, 2)
+    dy = off[..., 0]                                             # (N,Ho,Wo,dg,K)
+    dx = off[..., 1]
+    m = mask.reshape(n, ho, wo, dg, K)
+
+    cg = cin // dg
+    xg = x.reshape(n, h, w, dg, cg)
+
+    outs = []
+    for g in range(dg):
+        samples = []
+        for k in range(K):
+            fy = gy[None] + ky[k] + dy[:, :, :, g, k]
+            fx = gx[None] + kx[k] + dx[:, :, :, g, k]
+            s = _sample_bilinear(xg[:, :, :, g, :], fy, fx, "zeros")
+            samples.append(s * m[:, :, :, g, k][..., None])
+        outs.append(jnp.stack(samples, axis=3))                  # (N,Ho,Wo,K,cg)
+    cols = jnp.concatenate(
+        [o.reshape(n, ho, wo, K * cg) for o in outs], axis=-1) \
+        if dg > 1 else outs[0].reshape(n, ho, wo, K * cg)
+    # weight reorder to match col layout: dg groups × K × cg — torch weight
+    # is (kh,kw,Cin,Cout) with Cin = dg*cg ordered [g, cg]
+    wmat = weight.reshape(K, dg, cg, cout).transpose(1, 0, 2, 3).reshape(
+        dg * K * cg, cout)
+    out = jnp.einsum("nhwk,ko->nhwo", cols, wmat.astype(cols.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
