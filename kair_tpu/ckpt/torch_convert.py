@@ -505,3 +505,86 @@ def convert_vrt(sd: Dict[str, np.ndarray], depths, mul_attn_ratio=0.75,
     params["conv_last"] = {"conv": {"kernel": t_conv3d_133(sd["conv_last.weight"]),
                                     "bias": sd["conv_last.bias"]}}
     return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# RVRT (reference: network_rvrt.py; zoo: 001_RVRT_* etc.)
+# ----------------------------------------------------------------------------
+
+def _rvrt_stl_block(sd, p):
+    blk = {
+        "norm1": _ln(sd, f"{p}.norm1"),
+        "norm2": _ln(sd, f"{p}.norm2"),
+        "attn": {
+            "rel_bias_table": sd[f"{p}.attn.relative_position_bias_table"],
+            "qkv_self_kernel": t_linear(sd[f"{p}.attn.qkv_self.weight"]),
+            "proj_kernel": t_linear(sd[f"{p}.attn.proj.weight"]),
+            "proj_bias": sd[f"{p}.attn.proj.bias"],
+        },
+        "mlp_fc1": _dense(sd, f"{p}.mlp.fc1"),
+        "mlp_fc2": _dense(sd, f"{p}.mlp.fc2"),
+    }
+    if f"{p}.attn.qkv_self.bias" in sd:
+        blk["attn"]["qkv_self_bias"] = sd[f"{p}.attn.qkv_self.bias"]
+    return blk
+
+
+def _rvrt_input_conv(sd, prefix, num_blocks, depth):
+    """RSTBWithInputConv keys: main.1 conv, main.3 LN, main.5.{i} RSTBs,
+    main.7 LN (network_rvrt.py:673-694)."""
+    out = {
+        "conv_in": {"conv": {"kernel": t_conv3d_133(sd[f"{prefix}.main.1.weight"]),
+                             "bias": sd[f"{prefix}.main.1.bias"]}},
+        "norm_in": _ln(sd, f"{prefix}.main.3"),
+        "norm_out": _ln(sd, f"{prefix}.main.7"),
+    }
+    for i in range(num_blocks):
+        p = f"{prefix}.main.5.{i}"
+        out[f"rstb{i:02d}"] = {
+            "group": {f"blk{j:02d}": _rvrt_stl_block(
+                sd, f"{p}.residual_group.blocks.{j}") for j in range(depth)},
+            "linear": _dense(sd, f"{p}.linear"),
+        }
+    return out
+
+
+def convert_rvrt(sd: Dict[str, np.ndarray], num_blocks=(1, 2, 1),
+                 depths=(2, 2, 2), upscale=4) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    params["spynet"] = convert_spynet(sd, "spynet.")
+    params["feat_extract"] = _rvrt_input_conv(sd, "feat_extract",
+                                              num_blocks[0], depths[0])
+    for module in ("backward_1", "forward_1", "backward_2", "forward_2"):
+        d = f"deform_align.{module}"
+        da = {}
+        for i, t in enumerate(range(0, 11, 2)):
+            w = sd[f"{d}.conv_offset.{t}.weight"]
+            leaf = {"kernel": t_conv3d_133(w), "bias": sd[f"{d}.conv_offset.{t}.bias"]}
+            if i < 5:
+                da[f"off{i}"] = {"conv": leaf}
+            else:
+                da["off5"] = leaf   # raw nn.Conv in our module
+        for ours, theirs in (("proj_q", "proj_q.1"), ("proj_k", "proj_k.1"),
+                             ("proj_v", "proj_v.1"), ("proj", "proj.1"),
+                             ("mlp_fc1", "mlp.1.fc1"), ("mlp_fc2", "mlp.1.fc2")):
+            da[ours] = _dense(sd, f"{d}.{theirs}")
+        params[f"deform_{module}"] = da
+        params[f"backbone_{module}"] = _rvrt_input_conv(
+            sd, f"backbone.{module}", num_blocks[1], depths[1])
+    params["reconstruction"] = _rvrt_input_conv(sd, "reconstruction",
+                                                num_blocks[2], depths[2])
+    params["conv_before_upsampler"] = {"conv": {
+        "kernel": t_conv3d_133(sd["conv_before_upsampler.0.weight"]),
+        "bias": sd["conv_before_upsampler.0.bias"]}}
+    up_ids = sorted({int(k.split(".")[1]) for k in sd
+                     if k.startswith("upsampler.") and k.endswith(".weight")})
+    for u, t in enumerate(up_ids[:-1]):
+        params[f"upsampler{u}"] = {"conv": {
+            "kernel": t_conv3d_133(sd[f"upsampler.{t}.weight"]),
+            "bias": sd[f"upsampler.{t}.bias"]}}
+    params["upsampler_tail"] = {"conv": {
+        "kernel": t_conv3d_133(sd[f"upsampler.{up_ids[-1]}.weight"]),
+        "bias": sd[f"upsampler.{up_ids[-1]}.bias"]}}
+    params["conv_last"] = {"conv": {"kernel": t_conv3d_133(sd["conv_last.weight"]),
+                                    "bias": sd["conv_last.bias"]}}
+    return {"params": params}

@@ -236,7 +236,9 @@ class GEGLU(nn.Module):
 
 
 class TMSA(nn.Module):
-    """One (shifted) 3-D-window attention block (reference :728-850)."""
+    """One (shifted) 3-D-window attention block (reference :728-850).
+    geglu=False gives RVRT's STL (plain fc1-GELU-fc2 MLP,
+    network_rvrt.py:337-358,443-559)."""
     dim: int
     num_heads: int
     window_size: Tuple[int, int, int] = (6, 8, 8)
@@ -244,6 +246,7 @@ class TMSA(nn.Module):
     mut_attn: bool = True
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    geglu: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -279,8 +282,12 @@ class TMSA(nn.Module):
         x = shortcut + y
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        return x + GEGLU(int(c * self.mlp_ratio), c, dtype=self.dtype,
-                         name="mlp")(y)
+        if self.geglu:
+            return x + GEGLU(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                             name="mlp")(y)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(_gelu(y))
+        return x + y
 
 
 class TMSAG(nn.Module):
@@ -293,6 +300,7 @@ class TMSAG(nn.Module):
     mut_attn: bool = True
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    geglu: bool = True
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -303,7 +311,8 @@ class TMSAG(nn.Module):
         for i in range(self.depth):
             blk = TMSA(self.dim, self.num_heads, self.window_size,
                        (0, 0, 0) if i % 2 == 0 else ss, self.mut_attn,
-                       self.mlp_ratio, self.qkv_bias, dtype=self.dtype,
+                       self.mlp_ratio, self.qkv_bias, geglu=self.geglu,
+                       dtype=self.dtype,
                        name=f"blk{i:02d}")
             x = nn.remat(lambda m, v: m(v))(blk, x) if self.remat else blk(x)
         return x
