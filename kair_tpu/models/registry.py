@@ -108,6 +108,40 @@ def define_g(opt: dict, dtype: Optional[Any] = None):
             upsampler=_get(o, "upsampler", ""),
             resi_connection=_get(o, "resi_connection", "1conv"),
             dtype=dtype)
+    if t == "vrt":
+        from kair_tpu.models.vrt import VRT
+        depths = tuple(_get(o, "depths", [8] * 7 + [4] * 6))
+        return VRT(upscale=_get(o, "upscale", 4),
+                   in_chans=_get(o, "in_nc", 3), out_chans=_get(o, "out_nc", 3),
+                   window_size=tuple(_get(o, "window_size", [6, 8, 8])),
+                   depths=depths,
+                   embed_dims=tuple(_get(o, "embed_dims", [120] * 7 + [180] * 6)),
+                   num_heads=tuple(_get(o, "num_heads", [6] * len(depths))),
+                   pa_frames=_get(o, "pa_frames", 2),
+                   deformable_groups=_get(o, "deformable_groups", 16),
+                   nonblind_denoising=bool(_get(o, "nonblind_denoising", False)),
+                   remat=bool(_get(o, "use_checkpoint_attn", False)),
+                   dtype=dtype)
+    if t == "rvrt":
+        from kair_tpu.models.rvrt import RVRT
+        return RVRT(upscale=_get(o, "upscale", 4),
+                    clip_size=_get(o, "clip_size", 2),
+                    window_size=tuple(_get(o, "window_size", [2, 8, 8])),
+                    num_blocks=tuple(_get(o, "num_blocks", [1, 2, 1])),
+                    depths=tuple(_get(o, "depths", [2, 2, 2])),
+                    embed_dims=tuple(_get(o, "embed_dims", [144, 144, 144])),
+                    num_heads=tuple(_get(o, "num_heads", [6, 6, 6])),
+                    inputconv_groups=tuple(_get(o, "inputconv_groups", [1] * 6)),
+                    deformable_groups=_get(o, "deformable_groups", 12),
+                    attention_heads=_get(o, "attention_heads", 12),
+                    attention_window=tuple(_get(o, "attention_window", [3, 3])),
+                    nonblind_denoising=bool(_get(o, "nonblind_denoising", False)),
+                    remat=bool(_get(o, "use_checkpoint_attn", False)),
+                    dtype=dtype)
+    if t == "spynet":
+        from kair_tpu.models.spynet import SpyNet
+        return SpyNet(return_levels=tuple(_get(o, "return_levels", [5])),
+                      dtype=dtype)
     raise NotImplementedError(f"netG [{t}] is not implemented yet")
 
 
