@@ -588,3 +588,68 @@ def convert_rvrt(sd: Dict[str, np.ndarray], num_blocks=(1, 2, 1),
     params["conv_last"] = {"conv": {"kernel": t_conv3d_133(sd["conv_last.weight"]),
                                     "bias": sd["conv_last.bias"]}}
     return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# GPEN FullGenerator (reference: network_faceenhancer.py:630-687;
+# zoo: GPEN-512.pth etc.)
+# ----------------------------------------------------------------------------
+
+def _gpen_eql(sd, p):
+    """EqualLinear: torch (out,in) raw weight → (in,out)."""
+    return {"weight": t_linear(sd[f"{p}.weight"]), "bias": sd[f"{p}.bias"]}
+
+
+def _gpen_modconv(sd, p):
+    w = sd[f"{p}.weight"]          # (1, O, I, k, k)
+    return {"weight": np.ascontiguousarray(w[0].transpose(2, 3, 1, 0)),
+            "modulation": _gpen_eql(sd, f"{p}.modulation")}
+
+
+def _gpen_styled(sd, p):
+    return {"conv": _gpen_modconv(sd, f"{p}.conv"),
+            "noise_weight": sd[f"{p}.noise.weight"],
+            "act_bias": sd[f"{p}.activate.bias"]}
+
+
+def _gpen_torgb(sd, p):
+    return {"conv": _gpen_modconv(sd, f"{p}.conv"),
+            "bias": sd[f"{p}.bias"].reshape(-1)}
+
+
+def convert_gpen(sd: Dict[str, np.ndarray], size: int = 512,
+                 n_mlp: int = 8) -> Dict[str, Any]:
+    import math as _math
+
+    log_size = int(_math.log2(size))
+    params: Dict[str, Any] = {}
+
+    # encoder: ecd0 = ConvLayer(3, ch, 1); ecd{i} downsample ConvLayers
+    params["ecd0"] = {"conv": {"weight": t_conv(sd["ecd0.0.0.weight"])},
+                      "act_bias": sd["ecd0.0.1.bias"]}
+    n_ecd = log_size - 2
+    for i in range(1, n_ecd + 1):
+        params[f"ecd{i}"] = {
+            "conv": {"weight": t_conv(sd[f"ecd{i}.0.1.weight"])},
+            "act_bias": sd[f"ecd{i}.0.2.bias"]}
+
+    # final linear: torch flattens NCHW (C,4,4); ours flattens NHWC (4,4,C)
+    w = sd["final_linear.0.weight"]                    # (style_dim, C*16)
+    c = w.shape[1] // 16
+    w = w.reshape(-1, c, 4, 4).transpose(2, 3, 1, 0)   # (4,4,C,out)
+    params["final_linear"] = {"weight": np.ascontiguousarray(
+        w.reshape(16 * c, -1)), "bias": sd["final_linear.0.bias"]}
+
+    g: Dict[str, Any] = {}
+    for i in range(n_mlp):
+        g[f"style{i}"] = _gpen_eql(sd, f"generator.style.{i + 1}")
+    g["const_input"] = np.ascontiguousarray(
+        sd["generator.input.input"].transpose(0, 2, 3, 1))
+    g["conv1"] = _gpen_styled(sd, "generator.conv1")
+    g["to_rgb1"] = _gpen_torgb(sd, "generator.to_rgb1")
+    for j in range(log_size - 2):
+        g[f"conv_up{j}"] = _gpen_styled(sd, f"generator.convs.{2 * j}")
+        g[f"conv_same{j}"] = _gpen_styled(sd, f"generator.convs.{2 * j + 1}")
+        g[f"to_rgbs{j}"] = _gpen_torgb(sd, f"generator.to_rgbs.{j}")
+    params["generator"] = g
+    return {"params": params}
