@@ -11,9 +11,15 @@ def build(t: str, opt_ds: dict):
     if t in ("srmd",):
         from kair_tpu.data.dataset_srmd import DatasetSRMD
         return DatasetSRMD(opt_ds)
-    if t in ("dpsr", "dnpatch"):
+    if t in ("dpsr",):
         from kair_tpu.data.dataset_srmd import DatasetDPSR
         return DatasetDPSR(opt_ds)
+    if t in ("dnpatch",):
+        from kair_tpu.data.dataset_patch import DatasetDnPatch
+        return DatasetDnPatch(opt_ds)
+    if t in ("plainpatch",):
+        from kair_tpu.data.dataset_patch import DatasetPlainPatch
+        return DatasetPlainPatch(opt_ds)
     if t in ("blindsr",):
         from kair_tpu.data.dataset_blindsr import DatasetBlindSR
         return DatasetBlindSR(opt_ds)
