@@ -56,6 +56,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the first compile of the 36-block
+    # Pallas model through the tunnelled runtime takes ~20 min; cached
+    # reruns take seconds. Harmless if the backend ignores it.
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from kair_tpu.models.swinir import SwinIR
 
     model = SwinIR(upscale=4, in_chans=3, embed_dim=180, depths=(6,) * 6,
