@@ -1,0 +1,95 @@
+"""Training-step throughput benchmark (patches/sec, steps/sec) on the
+current device — the training-side counterpart of cli/challenge.
+
+    python -m kair_tpu.cli.train_bench --net dncnn --batch 64 --patch 64
+    python -m kair_tpu.cli.train_bench --net swinir --batch 8 --patch 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _timed(fn, state, k):
+    t0 = time.perf_counter()
+    float(fn(state, k))
+    return time.perf_counter() - t0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--net", type=str, default="dncnn")
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--patch", type=int, default=64)
+    parser.add_argument("--in_nc", type=int, default=1)
+    parser.add_argument("--nc", type=int, default=64)
+    parser.add_argument("--nb", type=int, default=17)
+    parser.add_argument("--scale", type=int, default=1)
+    parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
+    parser.add_argument("--steps", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from kair_tpu.train.trainer import PlainTrainer
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    netg = {"net_type": args.net, "in_nc": args.in_nc, "out_nc": args.in_nc,
+            "nc": args.nc, "nb": args.nb, "scale": args.scale,
+            "upscale": args.scale}
+    if args.net == "swinir":
+        netg.update({"embed_dim": 180, "depths": [6] * 6, "num_heads": [6] * 6,
+                     "window_size": 8, "mlp_ratio": 2.0,
+                     "upsampler": "pixelshuffle" if args.scale > 1 else ""})
+    opt = {"netG": netg,
+           "train": {"G_lossfn_type": "l1", "G_optimizer_lr": 2e-4,
+                     "G_scheduler_milestones": [10 ** 9], "E_decay": 0.999}}
+    trainer = PlainTrainer(opt, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "L": rng.rand(args.batch, args.patch, args.patch, args.in_nc).astype(np.float32),
+        "H": rng.rand(args.batch, args.patch * args.scale,
+                      args.patch * args.scale, args.in_nc).astype(np.float32)}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.make_train_step(donate=False)
+
+    l_dev = jnp.asarray(batch["L"])
+    h_dev = jnp.asarray(batch["H"])
+
+    # chained timing: thread the state through K steps inside one jit so the
+    # device must execute them all (see kair_tpu/utils/timing.py rationale)
+    def chain(state, k):
+        def body(_, s):
+            s2, _m = step(s, {"L": l_dev, "H": h_dev})
+            return s2
+        s = jax.lax.fori_loop(0, k, body, state)
+        return jnp.sum(jax.tree_util.tree_leaves(s.params)[0])
+
+    fn = jax.jit(chain, static_argnums=(1,))
+    # compile BOTH chain lengths before timing (a fresh k is a fresh program)
+    float(fn(state, 1))
+    float(fn(state, args.steps))
+    t1 = min(_timed(fn, state, 1) for _ in range(2))
+    tk = min(_timed(fn, state, args.steps) for _ in range(2))
+    per_step = max((tk - t1) / (args.steps - 1), 1e-9)
+
+    report = {
+        "net": args.net,
+        "batch": args.batch, "patch": args.patch, "dtype": args.dtype,
+        "step_ms": round(per_step * 1e3, 3),
+        "steps_per_s": round(1.0 / per_step, 2),
+        "patches_per_s": round(args.batch / per_step, 1),
+        "megapixels_per_s": round(args.batch * args.patch ** 2 / per_step / 1e6, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()
