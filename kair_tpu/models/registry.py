@@ -107,6 +107,9 @@ def define_g(opt: dict, dtype: Optional[Any] = None):
             img_range=_get(o, "img_range", 1.0),
             upsampler=_get(o, "upsampler", ""),
             resi_connection=_get(o, "resi_connection", "1conv"),
+            use_pallas=bool(_get(o, "use_pallas", False)),
+            fuse_block=bool(_get(o, "fuse_block", False)),
+            remat=bool(_get(o, "use_checkpoint", False)),
             dtype=dtype)
     if t == "vrt":
         from kair_tpu.models.vrt import VRT

@@ -41,7 +41,14 @@ _gelu = lambda x: jax.nn.gelu(x, approximate=False)
 class SwinBlock(nn.Module):
     """One Swin transformer block: [shift] → W-MSA(+rel-bias,+mask) →
     [unshift] → residual → LN→MLP→residual (reference
-    SwinTransformerBlock, network_swinir.py:164-277)."""
+    SwinTransformerBlock, network_swinir.py:164-277).
+
+    fuse_block=True runs the ENTIRE block (LN1+attention+LN2+MLP, both
+    residuals) as one Pallas kernel in shifted-window space
+    (ops/pallas/swin_block.py) — LN/MLP are per-token so window
+    partitioning commutes with them. Fused mode declares the LN/MLP params
+    flat (norm1_scale, fc1_kernel, …); `fused_block_params` adapts a
+    standard tree."""
     dim: int
     num_heads: int
     window_size: int
@@ -49,6 +56,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -57,12 +65,6 @@ class SwinBlock(nn.Module):
         ws, shift = self.window_size, self.shift_size
         if min(h, w) <= ws:
             ws, shift = min(h, w), 0
-
-        shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        xw = window_partition(x, ws)
 
         n = ws * ws
         qkv_kernel = self.param("qkv_kernel", nn.initializers.normal(0.02),
@@ -73,9 +75,39 @@ class SwinBlock(nn.Module):
         proj_b = self.param("proj_bias", nn.initializers.zeros, (c,))
         bias_table = self.param("rel_bias_table", nn.initializers.normal(0.02),
                                 ((2 * ws - 1) * (2 * ws - 1), self.num_heads))
-
         rel_idx = jnp.asarray(relative_position_index(ws, ws))
         mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
+        hidden = int(c * self.mlp_ratio)
+
+        if self.fuse_block and n == 64:
+            from kair_tpu.ops.pallas.swin_block import swin_block_pallas
+            ln1s = self.param("norm1_scale", nn.initializers.ones, (c,))
+            ln1b = self.param("norm1_bias", nn.initializers.zeros, (c,))
+            ln2s = self.param("norm2_scale", nn.initializers.ones, (c,))
+            ln2b = self.param("norm2_bias", nn.initializers.zeros, (c,))
+            fc1k = self.param("fc1_kernel", nn.initializers.normal(0.02),
+                              (c, hidden))
+            fc1b = self.param("fc1_bias", nn.initializers.zeros, (hidden,))
+            fc2k = self.param("fc2_kernel", nn.initializers.normal(0.02),
+                              (hidden, c))
+            fc2b = self.param("fc2_bias", nn.initializers.zeros, (c,))
+            if shift > 0:
+                x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            xw = window_partition(x, ws)
+            xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel, proj_b,
+                                   bias_table, rel_idx, self.num_heads,
+                                   ln1s, ln1b, ln2s, ln2b,
+                                   fc1k, fc1b, fc2k, fc2b, mask)
+            x = window_reverse(xw, ws, h, w)
+            if shift > 0:
+                x = jnp.roll(x, (shift, shift), axis=(1, 2))
+            return x
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, ws)
 
         xw = window_msa(xw, qkv_kernel, qkv_b, proj_kernel, proj_b,
                         bias_table, rel_idx, self.num_heads, mask,
@@ -87,7 +119,6 @@ class SwinBlock(nn.Module):
 
         # MLP
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        hidden = int(c * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(y)
         y = _gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
@@ -104,6 +135,7 @@ class RSTB(nn.Module):
     mlp_ratio: float = 4.0
     resi_connection: str = "1conv"
     use_pallas: bool = False
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -113,6 +145,7 @@ class RSTB(nn.Module):
             res = SwinBlock(self.dim, self.num_heads, self.window_size,
                             0 if i % 2 == 0 else self.window_size // 2,
                             self.mlp_ratio, use_pallas=self.use_pallas,
+                            fuse_block=self.fuse_block,
                             dtype=self.dtype, name=f"blk{i:02d}")(res, train=train)
         if self.resi_connection == "1conv":
             res = Conv(self.dim, dtype=self.dtype, name="conv")(res)
@@ -144,6 +177,7 @@ class SwinIR(nn.Module):
     num_feat: int = 64
     remat: bool = False
     use_pallas: bool = False
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -165,7 +199,8 @@ class SwinIR(nn.Module):
             for il, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
                 layer = RSTB(self.embed_dim, d, nh, self.window_size,
                              self.mlp_ratio, self.resi_connection,
-                             use_pallas=self.use_pallas, dtype=self.dtype,
+                             use_pallas=self.use_pallas,
+                             fuse_block=self.fuse_block, dtype=self.dtype,
                              name=f"layer{il}")
                 if self.remat:
                     feat = nn.remat(lambda m, v: m(v, train=train))(layer, feat)
@@ -235,3 +270,28 @@ def pad_input(x: np.ndarray, window_size: int) -> Tuple[np.ndarray, int, int]:
     if ph or pw:
         x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
     return x, h, w
+
+
+def fused_block_params(params):
+    """Adapt a standard SwinIR param tree (norm1/{scale,bias}, fc1/{kernel,
+    bias}, …) to the fuse_block=True layout (norm1_scale, fc1_kernel, …).
+    Pure tree rewrite — use after checkpoint conversion for fused
+    inference."""
+    def walk(p):
+        if not isinstance(p, dict):
+            return p
+        if "norm1" in p and "fc1" in p and "qkv_kernel" in p:
+            q = {k: v for k, v in p.items()
+                 if k not in ("norm1", "norm2", "fc1", "fc2")}
+            q["norm1_scale"] = p["norm1"]["scale"]
+            q["norm1_bias"] = p["norm1"]["bias"]
+            q["norm2_scale"] = p["norm2"]["scale"]
+            q["norm2_bias"] = p["norm2"]["bias"]
+            q["fc1_kernel"] = p["fc1"]["kernel"]
+            q["fc1_bias"] = p["fc1"]["bias"]
+            q["fc2_kernel"] = p["fc2"]["kernel"]
+            q["fc2_bias"] = p["fc2"]["bias"]
+            return q
+        return {k: walk(v) for k, v in p.items()}
+
+    return walk(params)

@@ -79,3 +79,26 @@ def test_swinir_with_pallas_flag_matches():
                           upsampler="", use_pallas=True)
         got = pl_model.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_block_matches_standard():
+    """SwinIR(fuse_block=True) with adapted params == standard forward."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR, fused_block_params
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 1), jnp.float32)
+    std = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+                 num_heads=(4,), window_size=8, mlp_ratio=2.0, upsampler="")
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = std.apply(variables, x)
+
+    fused_vars = {"params": fused_block_params(variables["params"])}
+    orig = sb.swin_block_pallas
+    with mock.patch.object(sb, "swin_block_pallas",
+                           lambda *a, **kw: orig(*a, **{**kw, "interpret": True})):
+        fused = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+                       num_heads=(4,), window_size=8, mlp_ratio=2.0,
+                       upsampler="", fuse_block=True)
+        got = fused.apply(fused_vars, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
