@@ -64,6 +64,12 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        if len(self) == 0:
+            raise ValueError(
+                f"Loader yields 0 batches: dataset has {len(self.dataset)} "
+                f"items, batch_size={self.batch_size}, drop_last="
+                f"{self.drop_last}, num_shards={self.num_shards} — lower the "
+                "batch size or add data")
         rng = np.random.default_rng(self.seed + epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:

@@ -35,6 +35,19 @@ from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG, make_pair_bias,
                                             pack_weights)
 
 
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 erf approximation (max abs err 1.5e-7);
+    Mosaic has no erf/erfc primitive, only exp."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref,
             ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
@@ -80,7 +93,7 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
 
     h2 = layernorm(x1, ln2s_ref, ln2b_ref)
     hid = jnp.dot(h2, fc1w_ref[:], preferred_element_type=jnp.float32) + fc1b_ref[:]
-    hid = jax.nn.gelu(hid, approximate=False).astype(dtype)
+    hid = (hid * 0.5 * (1.0 + _erf(hid * 0.7071067811865475))).astype(dtype)
     mlp = jnp.dot(hid, fc2w_ref[:], preferred_element_type=jnp.float32) + fc2b_ref[:]
     y = (x1 + mlp).astype(dtype)
     out_ref[:] = y.reshape(g_blk, 128, c)
