@@ -73,7 +73,7 @@ def main():
     model = SwinIR(upscale=4, in_chans=3, embed_dim=180, depths=(6,) * 6,
                    num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0,
                    upsampler="pixelshuffle", dtype=jnp.bfloat16,
-                   use_pallas=True)
+                   fuse_block=True)
 
     lr_size = 128
     batch = 8
