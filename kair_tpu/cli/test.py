@@ -68,6 +68,35 @@ def build_preset(model_name: str, model_path: str, training: bool = False):
         model = MSRResNet0(3, 3, 64, 16, 4, "R", "upconv")
         variables = tc.convert_msrresnet0(load_sd(), nb=16, upscale=4)
         return model, variables, "sr4", 3
+    if model_name.startswith("rrdb"):
+        from kair_tpu.models.rrdbnet import RRDB
+        model = RRDB(3, 3, 64, 23, 32, 4, "L", "upconv")
+        variables = tc.convert_rrdb_old(load_sd(), nb=23, upscale=4)
+        return model, variables, "sr4", 3
+    if model_name.startswith("imdn"):
+        from kair_tpu.models.imdn import IMDN
+        model = IMDN(3, 3, 64, 8, 4, "L", "pixelshuffle")
+        variables = tc.convert_imdn(load_sd(), nb=8)
+        return model, variables, "sr4", 3
+    if model_name.startswith("srmd"):
+        from kair_tpu.models.srresnet import SRMD
+        model = SRMD(19, 3, 128, 12, 4, "R", "pixelshuffle")
+        variables = tc.convert_srmd(load_sd(), nb=12)
+        return model, variables, "srmd", 3
+    if model_name.startswith("usrnet"):
+        from kair_tpu.models.usrnet import USRNet
+        tiny = "tiny" in model_name
+        model = USRNet(n_iter=6 if tiny else 8, h_nc=32 if tiny else 64,
+                       nc=(16, 32, 64, 64) if tiny else (64, 128, 256, 512),
+                       nb=2)
+        variables = tc.convert_usrnet(load_sd(), n_iter=6 if tiny else 8, nb=2)
+        return model, variables, "usrnet", 3
+    if model_name.startswith("ircnn"):
+        from kair_tpu.models.dncnn import IRCNN
+        n_channels = 3 if "color" in model_name else 1
+        model = IRCNN(n_channels, n_channels, 64)
+        variables = tc.convert_ircnn(load_sd())
+        return model, variables, "plain", n_channels
     raise NotImplementedError(f"model preset [{model_name}]")
 
 
@@ -108,6 +137,32 @@ def main(argv=None):
                                              img_l.shape)
             border = args.border
             sf = 1
+        elif kind == "srmd":
+            # bicubic-degradation protocol with the published PCA basis
+            # (main_test_srmd.py semantics)
+            from kair_tpu.degrade import sisr as dsisr
+            img_h = im.modcrop(img_h, 4)
+            img_l = im.imresize_np(im.uint2single(img_h), 1 / 4, True)
+            pca = dsisr.load_srmd_pca()
+            k = dsisr.anisotropic_gaussian(15, np.pi, 0.1, 0.1)
+            m_vec = np.concatenate(
+                [dsisr.pca_project(k, pca), [args.noise_level_img / 255.0]])
+            m_map = np.broadcast_to(m_vec.astype(np.float32),
+                                    img_l.shape[:2] + (m_vec.size,))
+            img_l = np.concatenate([img_l.astype(np.float32), m_map], -1)
+            border, sf = 4, 4
+        elif kind == "usrnet":
+            # kernels_12 validation kernel (dataset_usrnet.py:105-112)
+            from scipy.io import loadmat
+            from scipy import ndimage
+            k = loadmat("/root/reference/kernels/kernels_12.mat")["kernels"][0, 0]
+            k = (k / k.sum()).astype(np.float32)
+            sf = 4
+            img_h = im.modcrop(img_h, sf)
+            img_l = ndimage.convolve(im.uint2single(img_h),
+                                     k[:, :, None].astype(np.float64),
+                                     mode="wrap")[::sf, ::sf]
+            border = sf
         else:
             img_h = im.modcrop(img_h, 4)
             img_l = im.imresize_np(im.uint2single(img_h), 1 / 4, True)
@@ -119,9 +174,21 @@ def main(argv=None):
             img_l = np.concatenate([img_l, m], axis=-1)
 
         x = im.hwc_to_nhwc(img_l.astype(np.float32))
-        mode = 3 if args.x8 else 1
-        modulo = 8 if kind in ("drunet", "sr4") else 1
-        e = test_mode(fwd, x, mode=mode, sf=sf, modulo=modulo)
+        if kind == "usrnet":
+            import jax.numpy as jnp
+            sigma = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            kk = jnp.asarray(k)[None, :, :, None]
+            # pad so H*sf is a multiple of 8 (ResUNet prior)
+            ph = (-x.shape[1]) % 2
+            pw = (-x.shape[2]) % 2
+            if ph or pw:
+                x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            e = np.asarray(model.apply(variables, jnp.asarray(x), kk, sf, sigma))
+            e = e[:, : img_h.shape[0], : img_h.shape[1]]
+        else:
+            mode = 3 if args.x8 else 1
+            modulo = 8 if kind in ("drunet", "sr4") else 1
+            e = test_mode(fwd, x, mode=mode, sf=sf, modulo=modulo)
         img_e = im.nhwc_to_uint(e)
 
         psnr = im.calculate_psnr(img_e, img_h.squeeze(), border=border)
