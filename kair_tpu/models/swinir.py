@@ -79,7 +79,9 @@ class SwinBlock(nn.Module):
         mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
         hidden = int(c * self.mlp_ratio)
 
-        if self.fuse_block and n == 64:
+        # fused kernel is inference-only (no custom VJP yet); training
+        # falls back to the XLA path automatically
+        if self.fuse_block and n == 64 and not train:
             from kair_tpu.ops.pallas.swin_block import swin_block_pallas
             ln1s = self.param("norm1_scale", nn.initializers.ones, (c,))
             ln1b = self.param("norm1_bias", nn.initializers.zeros, (c,))
