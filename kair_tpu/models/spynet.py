@@ -103,15 +103,3 @@ class SpyNet(nn.Module):
         flows = [f for _, f in flow_list]
         return flows[0] if len(flows) == 1 else flows
 
-
-def convert_spynet(sd) -> dict:
-    """spynet_sintel_final-*.pth ('params' key): basic_module.{i}.basic_module.{0,2,..,8}."""
-    from kair_tpu.ckpt.torch_convert import conv_leaf
-
-    params = {}
-    for i in range(6):
-        mod = {}
-        for j, t in enumerate(range(0, 9, 2)):
-            mod[f"conv{j}"] = {"conv": conv_leaf(sd, f"basic_module.{i}.basic_module.{t}")}
-        params[f"basic{i}"] = mod
-    return {"params": params}
