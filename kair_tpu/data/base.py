@@ -78,18 +78,44 @@ class Loader:
         n_batches = len(order) // self.batch_size if self.drop_last \
             else -(-len(order) // self.batch_size)
 
+        stop = threading.Event()
+
+        def put(q: queue.Queue, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(q: queue.Queue):
             for b in range(n_batches):
+                if stop.is_set():
+                    return
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                 exs = [self.dataset.get_example(int(i), rng) for i in idxs]
-                q.put(collate(exs))
-            q.put(None)
+                if not put(q, collate(exs)):
+                    return
+            put(q, None)
 
         q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            # abandoning the generator mid-epoch must not leave the producer
+            # decoding inside C libraries at interpreter shutdown (aborts
+            # with "terminate called without an active exception")
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)

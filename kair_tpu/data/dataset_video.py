@@ -1,12 +1,12 @@
 """Video datasets for recurrent training/testing
 (reference: data/dataset_video_train.py:11-453, dataset_video_test.py:11-425).
 
-Disk backend: REDS/Vimeo-style frame folders, meta_info txt
-("clip frame_num (h,w,c) [start_frame]"), temporal interval + reverse
-augmentation, paired LQ/HR random crop, hflip/rot augmentation
+Backends: 'disk' (REDS/Vimeo-style frame folders), 'framepack' (packed
+mmap store, kair_tpu.data.framepack — the TPU-native replacement for the
+reference's lmdb backend, same keys), or 'lmdb' when the module exists.
+meta_info txt ("clip frame_num (h,w,c) [start_frame]"), temporal interval
++ reverse augmentation, paired LQ/HR random crop, hflip/rot augmentation
 (utils_video.paired_random_crop :240 / augment :173 semantics).
-LMDB is not available in this environment (no `lmdb` module); the disk
-backend covers the same data with the same keys.
 
 Frames are returned as (D, H, W, C) float32 — the Loader stacks batches to
 (B, D, H, W, C) NDHWC for VRT/RVRT.
@@ -26,6 +26,36 @@ from kair_tpu.utils import image as im
 
 def _read_frame(path: str) -> np.ndarray:
     return im.uint2single(im.imread_uint(str(path), 3))
+
+
+class _FrameSource:
+    """Resolves frames from disk paths or packed stores according to the
+    opt['io_backend'] dict (reference dataset_video_train.py:100-110: lmdb
+    backends get db_paths=[lq_root, gt_root] and client_keys=['lq','gt']).
+    Here 'framepack' (kair_tpu.data.framepack) replaces 'lmdb'."""
+
+    def __init__(self, opt: dict, lq_root, gt_root):
+        io = dict(opt.get("io_backend") or {"type": "disk"})
+        self.type = io.pop("type", "disk")
+        if self.type != "disk":
+            io.setdefault("db_paths", [str(lq_root), str(gt_root)])
+            io.setdefault("client_keys", ["lq", "gt"])
+            if not opt.get("meta_info_file"):
+                raise ValueError(
+                    f"io_backend '{self.type}' requires meta_info_file "
+                    "(packed stores cannot be folder-scanned)")
+        self.io_kwargs = io
+        self.client = None
+
+    def read(self, root, rel_path: str, key: str, client_key: str):
+        """rel_path: disk path below root; key: packed-store key."""
+        if self.type == "disk":
+            return _read_frame(str(root / rel_path))
+        if self.client is None:  # lazy, like reference :118-120
+            from kair_tpu.data.framepack import FileClient
+            self.client = FileClient(self.type, **self.io_kwargs)
+        from kair_tpu.data.framepack import imfrombytes
+        return imfrombytes(self.client.get(key, client_key), float32=True)
 
 
 def paired_random_crop(img_gts: List[np.ndarray], img_lqs: List[np.ndarray],
@@ -79,6 +109,7 @@ class VideoRecurrentTrainDataset(Dataset):
         self.use_hflip = bool(opt.get("use_hflip", True))
         self.use_rot = bool(opt.get("use_rot", True))
 
+        self.source = _FrameSource(opt, self.lq_root, self.gt_root)
         self.keys: List[str] = []
         self.total_frames: Dict[str, int] = {}
         self.start_frames: Dict[str, int] = {}
@@ -133,9 +164,10 @@ class VideoRecurrentTrainDataset(Dataset):
 
         lqs, gts = [], []
         for i in indices:
-            name = f"{i:{self.filename_tmpl}}.{self.filename_ext}"
-            lqs.append(_read_frame(self.lq_root / clip_name / name))
-            gts.append(_read_frame(self.gt_root / clip_name / name))
+            name = f"{clip_name}/{i:{self.filename_tmpl}}.{self.filename_ext}"
+            key_i = f"{clip_name}/{i:{self.filename_tmpl}}"
+            lqs.append(self.source.read(self.lq_root, name, key_i, "lq"))
+            gts.append(self.source.read(self.gt_root, name, key_i, "gt"))
 
         gts, lqs = paired_random_crop(gts, lqs, self.gt_size, self.scale, rng)
         frames = augment_frames(gts + lqs, self.use_hflip, self.use_rot, rng)
@@ -171,8 +203,9 @@ class VideoRecurrentTrainNonblindDenoisingDataset(VideoRecurrentTrainDataset):
 
         gts = []
         for i in indices:
-            name = f"{i:{self.filename_tmpl}}.{self.filename_ext}"
-            gts.append(_read_frame(self.gt_root / clip_name / name))
+            name = f"{clip_name}/{i:{self.filename_tmpl}}.{self.filename_ext}"
+            key_i = f"{clip_name}/{i:{self.filename_tmpl}}"
+            gts.append(self.source.read(self.gt_root, name, key_i, "gt"))
 
         gts, _ = paired_random_crop(gts, gts, self.gt_size, 1, rng)
         gts = augment_frames(gts, self.use_hflip, self.use_rot, rng)
@@ -210,6 +243,7 @@ class VideoRecurrentTrainVimeoDataset(Dataset):
         self.mirror_sequence = bool(opt.get("mirror_sequence") or False)
         self.pad_sequence = bool(opt.get("pad_sequence") or False)
 
+        self.source = _FrameSource(opt, self.lq_root, self.gt_root)
         meta = opt.get("meta_info_file")
         if meta and os.path.exists(meta):
             with open(meta) as f:
@@ -228,9 +262,11 @@ class VideoRecurrentTrainVimeoDataset(Dataset):
 
     def _read_pair(self, key: str, neighbors: List[int]):
         clip, seq = key.split("/")
-        lqs = [_read_frame(self.lq_root / clip / seq / f"im{n}.png")
+        lqs = [self.source.read(self.lq_root, f"{clip}/{seq}/im{n}.png",
+                                f"{clip}/{seq}/im{n}", "lq")
                for n in neighbors]
-        gts = [_read_frame(self.gt_root / clip / seq / f"im{n}.png")
+        gts = [self.source.read(self.gt_root, f"{clip}/{seq}/im{n}.png",
+                                f"{clip}/{seq}/im{n}", "gt")
                for n in neighbors]
         return lqs, gts
 
@@ -307,9 +343,11 @@ class VideoRecurrentTrainVimeoVFIDataset(VideoRecurrentTrainVimeoDataset):
             neighbors.reverse()
         key = self.keys[index]
         clip, seq = key.split("/")
-        lqs = [_read_frame(self.lq_root / clip / seq / f"im{n}.png")
+        lqs = [self.source.read(self.lq_root, f"{clip}/{seq}/im{n}.png",
+                                f"{clip}/{seq}/im{n}", "lq")
                for n in neighbors]
-        gts = [_read_frame(self.gt_root / clip / seq / "im4.png")]
+        gts = [self.source.read(self.gt_root, f"{clip}/{seq}/im4.png",
+                                f"{clip}/{seq}/im4", "gt")]
 
         gts, lqs = paired_random_crop(gts, lqs, self.gt_size, self.scale, rng)
         frames = augment_frames(lqs + gts, self.use_hflip, self.use_rot, rng)
