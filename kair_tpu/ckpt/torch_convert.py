@@ -489,6 +489,16 @@ def convert_vrt(sd: Dict[str, np.ndarray], depths, mul_attn_ratio=0.75,
     params["norm"] = _ln(sd, "norm")
     params["conv_after_body"] = _dense(sd, "conv_after_body")
 
+    if pa_frames == 0:
+        # frame interpolation head (reference network_vrt.py:1386-1387):
+        # 2-D convs — linear_fuse 1x1 + conv_last 7x7
+        params["linear_fuse"] = {"conv": {
+            "kernel": t_conv(sd["linear_fuse.weight"]),
+            "bias": sd["linear_fuse.bias"]}}
+        params["conv_last"] = {"conv": {
+            "kernel": t_conv(sd["conv_last.weight"]),
+            "bias": sd["conv_last.bias"]}}
+        return {"params": params}
     if upscale > 1:
         params["conv_before_upsample"] = {"conv": {
             "kernel": t_conv3d_133(sd["conv_before_upsample.0.weight"]),

@@ -59,11 +59,15 @@ def test_clip(fn: Callable, lq: np.ndarray, sf: int,
                   wi * sf:(wi + size_patch_testing) * sf, :] += mask
         return E / W
 
-    # whole clip with reflect padding to window multiples (reference :212-223)
-    h_pad = (h // window_size[1] + 1) * window_size[1] - h
-    w_pad = (w // window_size[2] + 1) * window_size[2] - w
-    x = np.concatenate([lq, lq[:, :, -h_pad:, :, :][:, :, ::-1]], axis=2)
-    x = np.concatenate([x, x[:, :, :, -w_pad:, :][:, :, :, ::-1]], axis=3)
+    # whole clip with reflect padding to window multiples; no pad when
+    # already a multiple (reference main_test_vrt.py:360-368)
+    h_pad = (window_size[1] - h % window_size[1]) % window_size[1]
+    w_pad = (window_size[2] - w % window_size[2]) % window_size[2]
+    x = lq
+    if h_pad:
+        x = np.concatenate([x, x[:, :, -h_pad:, :, :][:, :, ::-1]], axis=2)
+    if w_pad:
+        x = np.concatenate([x, x[:, :, :, -w_pad:, :][:, :, :, ::-1]], axis=3)
     out = np.asarray(fn(x))
     return out[:, :, : h * sf, : w * sf, :]
 
@@ -95,9 +99,10 @@ def test_video(fn: Callable, lq: np.ndarray, sf: int,
             W[:, di: di + num_frame_testing] += 1.0
         return E / W
 
-    # pad frames to a window-multiple by reflecting the tail (reference :149-153)
-    d_pad = (d // window_size[0] + 1) * window_size[0] - d
-    x = np.concatenate([lq, lq[:, -d_pad:][:, ::-1]], axis=1)
+    # pad frames to a window-multiple by reflecting the tail; no pad when
+    # already a multiple (reference main_test_vrt.py:303-306)
+    d_pad = (window_size[0] - d % window_size[0]) % window_size[0]
+    x = np.concatenate([lq, lq[:, -d_pad:][:, ::-1]], axis=1) if d_pad else lq
     out = clip_fn(x)
     return out[:, :d]
 

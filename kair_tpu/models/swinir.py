@@ -75,7 +75,9 @@ class SwinBlock(nn.Module):
         proj_b = self.param("proj_bias", nn.initializers.zeros, (c,))
         bias_table = self.param("rel_bias_table", nn.initializers.normal(0.02),
                                 ((2 * ws - 1) * (2 * ws - 1), self.num_heads))
-        rel_idx = jnp.asarray(relative_position_index(ws, ws))
+        # rel_idx stays numpy: converted checkpoints hold numpy params, and
+        # numpy fancy-indexing by a traced index breaks under jit
+        rel_idx = relative_position_index(ws, ws)
         mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
         hidden = int(c * self.mlp_ratio)
 

@@ -187,7 +187,9 @@ class WindowAttention3D(nn.Module):
                                 ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1),
                                  nh))
         rel_idx = rel_position_index_3d(*ws)[:n, :n]
-        rel_bias = bias_table[jnp.asarray(rel_idx).reshape(-1)]
+        # keep the index numpy: converted checkpoints hold numpy params, and
+        # numpy fancy-indexing by a traced index breaks under jit
+        rel_bias = jnp.asarray(bias_table)[rel_idx.reshape(-1)]
         rel_bias = rel_bias.reshape(n, n, nh).transpose(2, 0, 1)
 
         q, k, v = qkv_proj(xw, "qkv_self")
@@ -579,6 +581,9 @@ class VRT(nn.Module):
     pa_frames: int = 2
     deformable_groups: int = 16
     nonblind_denoising: bool = False
+    # stage-8 blocks using per-frame (1,h,w) windows; None = last two
+    # (reference :1270 indep_reconsts=[11,12]; [] for frame interpolation)
+    indep_reconsts: Optional[Tuple[int, ...]] = None
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -586,6 +591,32 @@ class VRT(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: (B, D, H, W, C) [+1 noise channel when nonblind]."""
         b, d, h, w, _ = x.shape
+
+        if not self.pa_frames:
+            # video frame interpolation (reference :1454-1467): no flows,
+            # mean-subtract, fuse all frames, 7x7 reflection-padded head
+            x_mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            x = x - x_mean
+            conv_first = Conv(self.embed_dims[0], dtype=self.dtype,
+                              name="conv_first")
+            feat = _conv2d_frames(x, conv_first)
+            feat_out = self._features(feat, [], [])
+            feat = feat + nn.Dense(self.embed_dims[0], dtype=self.dtype,
+                                   name="conv_after_body")(feat_out)
+            # cat(unbind(x, D), channel): frame-major channel packing
+            fused = feat.transpose(0, 2, 3, 1, 4).reshape(
+                b, h, w, d * self.embed_dims[0])
+            fused = nn.leaky_relu(
+                Conv(self.num_feat, 1, 1, 0, dtype=self.dtype,
+                     name="linear_fuse")(fused), 0.2)
+            fused = jnp.pad(fused, ((0, 0), (3, 3), (3, 3), (0, 0)),
+                            mode="reflect")
+            out = Conv(self.out_chans, 7, 1, 0, dtype=self.dtype,
+                       name="conv_last")(fused)
+            # split channel into 3-channel output frames (reference :1465)
+            frames = out.reshape(b, h, w, -1, 3).transpose(0, 3, 1, 2, 4)
+            return frames + x_mean
+
         if self.nonblind_denoising:
             x, noise_map = x[..., :self.in_chans], x[..., self.in_chans:]
         x_lq = x
@@ -669,11 +700,13 @@ class VRT(nn.Module):
         xx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stage8_norm")(xx)
         xx = nn.Dense(self.embed_dims[7], dtype=self.dtype,
                       name="stage8_linear")(xx)
+        indep = self.indep_reconsts if self.indep_reconsts is not None \
+            else tuple(range(len(self.depths) - 2, len(self.depths)))
         for j in range(7, len(self.depths)):
-            # last reconstruction blocks use per-frame (1,h,w) windows
-            # (indep_reconsts, reference :1358)
+            # reconstruction blocks in indep_reconsts use per-frame (1,h,w)
+            # windows (reference :1358)
             ws8 = (1, self.window_size[1], self.window_size[2]) \
-                if j >= len(self.depths) - 2 else self.window_size
+                if j in indep else self.window_size
             xx = RTMSA(self.embed_dims[j], self.depths[j], self.num_heads[j],
                        ws8, self.mlp_ratio, self.qkv_bias, remat=self.remat,
                        dtype=self.dtype, name=f"stage8_{j - 7}")(xx)

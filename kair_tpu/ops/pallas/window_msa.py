@@ -111,7 +111,10 @@ def make_pair_bias(bias_table, rel_index, num_heads: int,
     """(n_pairs, nh, 128, 128) f32 score bias: rel-pos bias on the diagonal
     64-blocks (+ per-window shift mask), −1e9 off-diagonal."""
     n = rel_index.shape[0]
-    rel = bias_table[rel_index.reshape(-1)].reshape(n, n, num_heads)
+    # jnp-convert the table first: numpy fancy-indexing by a traced index
+    # fails under jit (rel_index may be numpy or traced)
+    rel = jnp.asarray(bias_table)[rel_index.reshape(-1)].reshape(
+        n, n, num_heads)
     rel = rel.transpose(2, 0, 1).astype(jnp.float32)        # (nh, 64, 64)
     if mask is None:
         per_win = jnp.broadcast_to(rel[None], (2 * n_pairs_per_batch, num_heads, n, n))

@@ -107,7 +107,10 @@ def window_msa(xw: jnp.ndarray,
 
     attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
                       preferred_element_type=jnp.float32)
-    rel_bias = bias_table[rel_index.reshape(-1)].reshape(n, n, num_heads)
+    # jnp-convert the table first: numpy fancy-indexing by a traced index
+    # fails under jit (rel_index may be numpy or traced)
+    rel_bias = jnp.asarray(bias_table)[rel_index.reshape(-1)].reshape(
+        n, n, num_heads)
     attn = attn + rel_bias.transpose(2, 0, 1)[None, None].astype(attn.dtype)
     if mask is not None:
         attn = attn + mask[None, :, None].astype(attn.dtype)

@@ -147,6 +147,29 @@ def vrt_fixture():
           "params:", sum(v.size for v in sd.values()))
 
 
+def vrt_fi_fixture():
+    """pa_frames=0 frame-interpolation branch (reference forward :1454-1467)."""
+    from models.network_vrt import VRT
+
+    torch.manual_seed(3)
+    net = VRT(upscale=1, out_chans=3, img_size=[4, 64, 64],
+              window_size=[4, 8, 8], depths=[2] * 7 + [2, 2],
+              indep_reconsts=[], embed_dims=[12] * 7 + [16, 16],
+              num_heads=[2] * 9, pa_frames=0, spynet_path=None)
+    net.eval()
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 4, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        out = net(torch.from_numpy(x))
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(FIX, "model_vrt_fi.npz"), x=x, out=out.numpy(),
+        **{f"sd.{k}": v for k, v in sd.items()})
+    print("vrt fi out:", tuple(out.shape),
+          "params:", sum(v.size for v in sd.values()))
+
+
 if __name__ == "__main__":
     spynet_fixture()
     vrt_fixture()
+    vrt_fi_fixture()
