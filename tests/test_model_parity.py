@@ -110,3 +110,20 @@ def test_swinir_parity(name, cfg):
     model = SwinIR(**cfg)
     got = np.asarray(model.apply(variables, nchw(ins[0])))
     np.testing.assert_allclose(got, nchw(want), atol=2e-4)
+
+
+def test_swinir_converted_jit_parity():
+    """Converted (numpy) checkpoints must work UNDER JIT: JAX lifts numpy
+    constants to tracers, so numpy-table[traced-index] crashes — regression
+    for the rel-position-bias indexing fix in models/ and ops/."""
+    import jax
+    from kair_tpu.models.swinir import SwinIR
+
+    name, cfg = SWINIR_CASES[2]
+    sd, ins, want = load(name)
+    variables = tc.convert_swinir(sd, depths=cfg["depths"],
+                                  upsampler=cfg["upsampler"],
+                                  upscale=cfg["upscale"])
+    model = SwinIR(**cfg)
+    got = np.asarray(jax.jit(lambda a: model.apply(variables, a))(nchw(ins[0])))
+    np.testing.assert_allclose(got, nchw(want), atol=2e-4)
