@@ -97,12 +97,21 @@ class SwinBlock(nn.Module):
             fc2b = self.param("fc2_bias", nn.initializers.zeros, (c,))
             if shift > 0:
                 x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            xw = window_partition(x, ws)
-            xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel, proj_b,
-                                   bias_table, rel_idx, self.num_heads,
-                                   ln1s, ln1b, ln2s, ln2b,
-                                   fc1k, fc1b, fc2k, fc2b, mask)
-            x = window_reverse(xw, ws, h, w)
+            if w % 16 == 0:
+                # window partition/reverse fold into the kernel's strip
+                # relayout — no XLA reshape round-trips through HBM
+                from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d
+                x = swin_block_pallas_2d(x, qkv_kernel, qkv_b, proj_kernel,
+                                         proj_b, bias_table, rel_idx,
+                                         self.num_heads, ln1s, ln1b, ln2s,
+                                         ln2b, fc1k, fc1b, fc2k, fc2b, mask)
+            else:
+                xw = window_partition(x, ws)
+                xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel,
+                                       proj_b, bias_table, rel_idx,
+                                       self.num_heads, ln1s, ln1b, ln2s, ln2b,
+                                       fc1k, fc1b, fc2k, fc2b, mask)
+                x = window_reverse(xw, ws, h, w)
             if shift > 0:
                 x = jnp.roll(x, (shift, shift), axis=(1, 2))
             return x

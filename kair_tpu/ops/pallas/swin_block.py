@@ -48,15 +48,14 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-            wp_ref, bp_ref, bias_ref,
-            ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-            fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
-            out_ref, *, num_heads: int, scale: float,
-            pairs_per_block: int, bias_is_constant: bool):
-    g_blk = pairs_per_block
-    c = x_ref.shape[-1]
-    x0 = x_ref[:].reshape(g_blk * 128, c)
+def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                wp_ref, bp_ref, bias_ref,
+                ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+                fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
+                *, num_heads: int, scale: float,
+                g_blk: int, bias_is_constant: bool):
+    """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout."""
+    c = x0.shape[-1]
     dtype = x0.dtype
 
     def layernorm(v, s_ref, b_ref):
@@ -69,9 +68,13 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     x = layernorm(x0, ln1s_ref, ln1b_ref)
 
     def head(h):
-        q = (jnp.dot(x, wq_ref[h], preferred_element_type=jnp.float32)
-             + bq_ref[h]) * scale
-        k = jnp.dot(x, wk_ref[h], preferred_element_type=jnp.float32) + bk_ref[h]
+        # weights ride in input dtype (bf16 at inference) so every matmul
+        # hits the MXU's fast path; accumulate f32, then drop q/k back to
+        # dtype for the scores matmul (f32 q/k would run at fp32 rate)
+        q = ((jnp.dot(x, wq_ref[h], preferred_element_type=jnp.float32)
+              + bq_ref[h]) * scale).astype(dtype)
+        k = (jnp.dot(x, wk_ref[h], preferred_element_type=jnp.float32)
+             + bk_ref[h]).astype(dtype)
         v = (jnp.dot(x, wv_ref[h], preferred_element_type=jnp.float32)
              + bv_ref[h]).astype(dtype)
         outs = []
@@ -80,8 +83,13 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             kg = k[g * 128:(g + 1) * 128]
             s = jax.lax.dot_general(qg, kg, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+            s = s.astype(jnp.float32)
             bias = bias_ref[0, h] if bias_is_constant else bias_ref[g, h]
-            p = jax.nn.softmax(s + bias.astype(jnp.float32), axis=-1)
+            # softmax without the max-subtraction pass: scores are bounded
+            # (bf16 inputs, f32 accum) so f32 exp cannot overflow, and the
+            # -1e9 pair mask maps to exp->0 exactly; saves 2 VPU passes
+            e = jnp.exp(s + bias.astype(jnp.float32))
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             outs.append(jnp.dot(p.astype(dtype), v[g * 128:(g + 1) * 128],
                                 preferred_element_type=jnp.float32))
         return jnp.concatenate(outs, axis=0)
@@ -95,8 +103,99 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     hid = jnp.dot(h2, fc1w_ref[:], preferred_element_type=jnp.float32) + fc1b_ref[:]
     hid = (hid * 0.5 * (1.0 + _erf(hid * 0.7071067811865475))).astype(dtype)
     mlp = jnp.dot(hid, fc2w_ref[:], preferred_element_type=jnp.float32) + fc2b_ref[:]
-    y = (x1 + mlp).astype(dtype)
+    return (x1 + mlp).astype(dtype)
+
+
+def _kernel(x_ref, *refs, num_heads: int, scale: float,
+            pairs_per_block: int, bias_is_constant: bool):
+    out_ref = refs[-1]
+    g_blk = pairs_per_block
+    c = x_ref.shape[-1]
+    x0 = x_ref[:].reshape(g_blk * 128, c)
+    y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
+                    g_blk=g_blk, bias_is_constant=bias_is_constant)
     out_ref[:] = y.reshape(g_blk, 128, c)
+
+
+def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
+               pairs_per_block: int, bias_is_constant: bool):
+    """Strip layout: x_ref (1, 8, W, C) — one window-row strip. The window
+    partition/reverse is pure VMEM relayout here instead of XLA HBM
+    round-trips between blocks."""
+    out_ref = refs[-1]
+    g_blk = pairs_per_block                # = W // 16 window pairs
+    c = x_ref.shape[-1]
+    w = x_ref.shape[2]
+    nwin = w // 8
+    # (8 rows, W cols, C) → (win, row, col, C) → window-major tokens
+    x4 = x_ref[0].reshape(8, nwin, 8, c).transpose(1, 0, 2, 3)
+    x0 = x4.reshape(g_blk * 128, c)
+    y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
+                    g_blk=g_blk, bias_is_constant=bias_is_constant)
+    y4 = y.reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
+    out_ref[0] = y4.reshape(8, w, c)
+
+
+def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+                         bias_table, rel_index, num_heads,
+                         ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+                         fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+                         mask=None, interpret: bool = False):
+    """Fused block directly on the (B, H, W, C) feature map: one program per
+    8-row window strip; window partition/reverse happen as VMEM relayouts
+    inside the kernel instead of XLA reshapes through HBM (the dominant
+    inter-block cost at C=180). Caller still applies the cyclic shift roll.
+
+    Requires H % 8 == 0 and W % 16 == 0 (even windows per row)."""
+    b, h, w, c = x.shape
+    assert h % 8 == 0 and w % 16 == 0
+    hd = c // num_heads
+    scale = hd ** -0.5
+    g_blk = w // 16                        # window pairs per strip
+    nr = h // 8                            # strips per image
+    n_pairs = nr * g_blk
+
+    wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
+                                              proj_kernel, num_heads)
+    wq, wk, wv, wp = (wt.astype(x.dtype) for wt in (wq, wk, wv, wp))
+    pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
+                               n_pairs).astype(jnp.bfloat16)
+    bias_is_constant = mask is None
+    if bias_is_constant:
+        pair_bias = pair_bias[:1]
+        bias_spec = pl.BlockSpec((1, num_heads, 128, 128),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((g_blk, num_heads, 128, 128),
+                                 lambda i: (jax.lax.rem(i, nr), 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    grid = (b * nr,)
+    kernel = functools.partial(_kernel_2d, num_heads=num_heads, scale=scale,
+                               pairs_per_block=g_blk,
+                               bias_is_constant=bias_is_constant)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    strip_spec = pl.BlockSpec(
+        (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[strip_spec,
+                  vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+                  vmem(), vmem(), bias_spec,
+                  vmem(), vmem(), vmem(), vmem(),
+                  vmem(), vmem(), vmem(), vmem()],
+        out_specs=strip_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(x, wq, wk, wv, bq, bk, bv, wp,
+      proj_bias.astype(jnp.float32), pair_bias,
+      ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
+      ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
+      fc1_kernel.astype(x.dtype), fc1_bias.astype(jnp.float32),
+      fc2_kernel.astype(x.dtype), fc2_bias.astype(jnp.float32))
 
 
 def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
@@ -118,6 +217,9 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
 
     wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
                                               proj_kernel, num_heads)
+    # matmul operands in the input dtype (bf16 inference → full MXU rate;
+    # f32 tests stay exact); biases/LN stay f32 — they're VPU adds
+    wq, wk, wv, wp = (w.astype(xw.dtype) for w in (wq, wk, wv, wp))
     pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
                                n_pairs).astype(jnp.bfloat16)
     bias_is_constant = mask is None
@@ -157,6 +259,6 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
       proj_bias.astype(jnp.float32), pair_bias,
       ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
       ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
-      fc1_kernel.astype(jnp.float32), fc1_bias.astype(jnp.float32),
-      fc2_kernel.astype(jnp.float32), fc2_bias.astype(jnp.float32))
+      fc1_kernel.astype(xw.dtype), fc1_bias.astype(jnp.float32),
+      fc2_kernel.astype(xw.dtype), fc2_bias.astype(jnp.float32))
     return out.reshape(b, nw, n, c)

@@ -95,10 +95,45 @@ def test_fused_block_matches_standard():
 
     fused_vars = {"params": fused_block_params(variables["params"])}
     orig = sb.swin_block_pallas
+    orig2d = sb.swin_block_pallas_2d
     with mock.patch.object(sb, "swin_block_pallas",
-                           lambda *a, **kw: orig(*a, **{**kw, "interpret": True})):
+                           lambda *a, **kw: orig(*a, **{**kw, "interpret": True})), \
+         mock.patch.object(sb, "swin_block_pallas_2d",
+                           lambda *a, **kw: orig2d(*a, **{**kw, "interpret": True})):
         fused = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
                        num_heads=(4,), window_size=8, mlp_ratio=2.0,
                        upsampler="", fuse_block=True)
         got = fused.apply(fused_vars, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_block_2d_strip_path_matches():
+    """The (B,H,W,C) strip kernel (in-kernel window partition) == standard
+    forward, including shifted blocks, on a multi-strip multi-pair grid."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR, fused_block_params
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    # 32x32, depths=4 → two shifted + two unshifted blocks; W/16 = 2 pairs
+    # per strip, 4 strips per image, batch 2
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 1), jnp.float32)
+    std = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(4,),
+                 num_heads=(4,), window_size=8, mlp_ratio=2.0, upsampler="")
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = std.apply(variables, x)
+
+    fused_vars = {"params": fused_block_params(variables["params"])}
+    calls = []
+    orig2d = sb.swin_block_pallas_2d
+
+    def spy2d(*a, **kw):
+        calls.append(1)
+        return orig2d(*a, **{**kw, "interpret": True})
+
+    with mock.patch.object(sb, "swin_block_pallas_2d", spy2d):
+        fused = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(4,),
+                       num_heads=(4,), window_size=8, mlp_ratio=2.0,
+                       upsampler="", fuse_block=True)
+        got = fused.apply(fused_vars, x)
+    assert len(calls) == 4          # every block took the strip path
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
