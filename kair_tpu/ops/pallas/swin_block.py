@@ -53,7 +53,7 @@ def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                 ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                 fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                 *, num_heads: int, scale: float,
-                g_blk: int, bias_is_constant: bool):
+                g_blk: int, bias_mode: str):
     """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout."""
     c = x0.shape[-1]
     dtype = x0.dtype
@@ -84,7 +84,12 @@ def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             s = jax.lax.dot_general(qg, kg, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s.astype(jnp.float32)
-            bias = bias_ref[0, h] if bias_is_constant else bias_ref[g, h]
+            if bias_mode == "const":
+                bias = bias_ref[0, h]
+            elif bias_mode == "strip2":       # (1, g_blk, nh, 128, 128)
+                bias = bias_ref[0, g, h]
+            else:                             # per_pair: (g_blk, nh, 128, 128)
+                bias = bias_ref[g, h]
             # softmax without the max-subtraction pass: scores are bounded
             # (bf16 inputs, f32 accum) so f32 exp cannot overflow, and the
             # -1e9 pair mask maps to exp->0 exactly; saves 2 VPU passes
@@ -107,18 +112,18 @@ def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
 
 
 def _kernel(x_ref, *refs, num_heads: int, scale: float,
-            pairs_per_block: int, bias_is_constant: bool):
+            pairs_per_block: int, bias_mode: str):
     out_ref = refs[-1]
     g_blk = pairs_per_block
     c = x_ref.shape[-1]
     x0 = x_ref[:].reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
-                    g_blk=g_blk, bias_is_constant=bias_is_constant)
+                    g_blk=g_blk, bias_mode=bias_mode)
     out_ref[:] = y.reshape(g_blk, 128, c)
 
 
 def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
-               pairs_per_block: int, bias_is_constant: bool):
+               pairs_per_block: int, bias_mode: str):
     """Strip layout: x_ref (1, 8, W, C) — one window-row strip. The window
     partition/reverse is pure VMEM relayout here instead of XLA HBM
     round-trips between blocks."""
@@ -131,7 +136,7 @@ def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
     x4 = x_ref[0].reshape(8, nwin, 8, c).transpose(1, 0, 2, 3)
     x0 = x4.reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
-                    g_blk=g_blk, bias_is_constant=bias_is_constant)
+                    g_blk=g_blk, bias_mode=bias_mode)
     y4 = y.reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
     out_ref[0] = y4.reshape(8, w, c)
 
@@ -167,14 +172,21 @@ def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        bias_spec = pl.BlockSpec((g_blk, num_heads, 128, 128),
-                                 lambda i: (jax.lax.rem(i, nr), 0, 0, 0),
-                                 memory_space=pltpu.VMEM)
+        # shifted masks have only 2 distinct strip patterns (interior
+        # strips all share one; the bottom strip wraps vertically) — keep
+        # both resident in VMEM instead of streaming 1.5 MB per program
+        pair_bias = jnp.stack([pair_bias[:g_blk],
+                               pair_bias[(nr - 1) * g_blk:]])
+        bias_spec = pl.BlockSpec(
+            (1, g_blk, num_heads, 128, 128),
+            lambda i: (jnp.where(jax.lax.rem(i, nr) == nr - 1, 1, 0),
+                       0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
 
     grid = (b * nr,)
-    kernel = functools.partial(_kernel_2d, num_heads=num_heads, scale=scale,
-                               pairs_per_block=g_blk,
-                               bias_is_constant=bias_is_constant)
+    kernel = functools.partial(
+        _kernel_2d, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
+        bias_mode="const" if bias_is_constant else "strip2")
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     strip_spec = pl.BlockSpec(
         (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
@@ -228,9 +240,9 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
 
     x_pairs = xw.reshape(b * n_pairs, 2 * n, c)
     grid = (b * n_pairs // g_blk,)
-    kernel = functools.partial(_kernel, num_heads=num_heads, scale=scale,
-                               pairs_per_block=g_blk,
-                               bias_is_constant=bias_is_constant)
+    kernel = functools.partial(
+        _kernel, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
+        bias_mode="const" if bias_is_constant else "per_pair")
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 2 * n, 2 * n),
                                  lambda i: (0, 0, 0, 0),
