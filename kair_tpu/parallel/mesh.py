@@ -22,16 +22,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: Optional[int] = None, tile: int = 1,
+def make_mesh(data: Optional[int] = None, tile: int = 1, model: int = 1,
               devices=None) -> Mesh:
-    """Build a ('data', 'tile') mesh over the available devices."""
+    """Build a ('data', 'model', 'tile') mesh over the available devices.
+    'model' is the tensor-parallel axis (kair_tpu.parallel.tp); axes of
+    size 1 cost nothing."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // tile
-    assert data * tile == n, f"mesh {data}x{tile} != {n} devices"
-    arr = np.asarray(devices).reshape(data, tile)
-    return Mesh(arr, ("data", "tile"))
+        data = n // (tile * model)
+    assert data * tile * model == n, \
+        f"mesh {data}x{model}x{tile} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model, tile)
+    return Mesh(arr, ("data", "model", "tile"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -59,7 +59,7 @@ def make_sharded_tiled_fn(fn: Callable, mesh: Mesh, halo: int, sf: int = 1,
         # x arrives replicated: (N, H, W, C)
         n, h, w, c = x.shape
         hs = h // n_tiles
-        band_h = hs + 2 * halo
+        band_h = min(hs + 2 * halo, h)   # single-tile/short inputs: whole H
         i = jax.lax.axis_index(axis)
         start = jnp.clip(i * hs - halo, 0, h - band_h)
         band = jax.lax.dynamic_slice_in_dim(x, start, band_h, axis=1)

@@ -102,3 +102,62 @@ def test_sharded_tiled_swinir_window_local():
     got = np.asarray(tiled(x))
     close = np.abs(got - want) < 1e-4
     assert close.mean() > 0.995, close.mean()
+
+
+@requires_8dev
+def test_tensor_parallel_training_matches_single_device():
+    """dp(2) x tp(2) x tile(2) sharded SwinIR train step == single-device
+    step (GSPMD inserts the Megatron collectives; numerics must agree)."""
+    from kair_tpu.parallel.tp import TP_RULES, shard_state, tp_state_shardings
+    from kair_tpu.train.trainer import PlainTrainer
+
+    opt = {"netG": {"net_type": "swinir", "upscale": 2, "in_nc": 3,
+                    "embed_dim": 16, "depths": [2], "num_heads": [2],
+                    "window_size": 8, "mlp_ratio": 2.0,
+                    "upsampler": "pixelshuffledirect", "img_size": 16},
+           "train": {"G_lossfn_type": "l1", "G_optimizer_lr": 1e-3,
+                     "G_scheduler_milestones": [10000], "E_decay": 0.999}}
+    trainer = PlainTrainer(opt)
+    rng = np.random.RandomState(0)
+    batch = {"L": rng.rand(8, 16, 16, 3).astype(np.float32),
+             "H": rng.rand(8, 32, 32, 3).astype(np.float32)}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.make_train_step(donate=False)
+    s1, m1 = step(state, batch)
+
+    mesh = make_mesh(data=2, model=2, tile=2)
+    # the rules must actually shard the attention/MLP weights over 'model'
+    specs = tp_state_shardings(mesh, state.params)
+    sharded_paths = [
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, s in jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(lambda s: s.spec, specs,
+                                   is_leaf=lambda x: hasattr(x, "spec")))
+        if "model" in str(s)]
+    assert any("qkv_kernel" in p for p in sharded_paths)
+    assert any("fc1" in p for p in sharded_paths)
+
+    state_tp = shard_state(mesh, state)
+    batch_tp = shard_batch(mesh, batch)
+    s2, m2 = step(state_tp, batch_tp)
+
+    np.testing.assert_allclose(float(m1["G_loss"]), float(m2["G_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@requires_8dev
+def test_tp_indivisible_dims_fall_back_to_replicated():
+    """A 'model'-sharded dim that doesn't divide the axis must not crash —
+    the rule falls back to replicated for that leaf."""
+    from kair_tpu.parallel.tp import tp_state_shardings
+
+    mesh = make_mesh(data=2, model=2, tile=2)
+    params = {"blk": {"qkv_kernel": jnp.zeros((6, 18)),   # 18 % 2 == 0
+                      "fc1": {"kernel": jnp.zeros((6, 13))}}}  # 13 % 2 != 0
+    specs = tp_state_shardings(mesh, params)
+    assert "model" in str(specs["blk"]["qkv_kernel"].spec)
+    assert str(specs["blk"]["fc1"]["kernel"].spec) == "PartitionSpec()"
