@@ -81,9 +81,11 @@ class SwinBlock(nn.Module):
         mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
         hidden = int(c * self.mlp_ratio)
 
-        # fused kernel is inference-only (no custom VJP yet); training
-        # falls back to the XLA path automatically
-        if self.fuse_block and n == 64 and not train:
+        # the strip (2D) kernel is differentiable (custom VJP with jnp
+        # recompute, remat memory profile); the window-pair fallback for
+        # W % 16 != 0 stays inference-only and training uses the XLA path
+        fused_2d_ok = self.fuse_block and n == 64 and w % 16 == 0
+        if fused_2d_ok or (self.fuse_block and n == 64 and not train):
             from kair_tpu.ops.pallas.swin_block import swin_block_pallas
             ln1s = self.param("norm1_scale", nn.initializers.ones, (c,))
             ln1b = self.param("norm1_bias", nn.initializers.zeros, (c,))
@@ -97,7 +99,7 @@ class SwinBlock(nn.Module):
             fc2b = self.param("fc2_bias", nn.initializers.zeros, (c,))
             if shift > 0:
                 x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            if w % 16 == 0:
+            if fused_2d_ok:
                 # window partition/reverse fold into the kernel's strip
                 # relayout — no XLA reshape round-trips through HBM
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d

@@ -141,42 +141,122 @@ def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
     out_ref[0] = y4.reshape(8, w, c)
 
 
-def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
-                         bias_table, rel_index, num_heads,
-                         ln1_scale, ln1_bias, ln2_scale, ln2_bias,
-                         fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
-                         mask=None, interpret: bool = False):
-    """Fused block directly on the (B, H, W, C) feature map: one program per
-    8-row window strip; window partition/reverse happen as VMEM relayouts
-    inside the kernel instead of XLA reshapes through HBM (the dominant
-    inter-block cost at C=180). Caller still applies the cyclic shift roll.
+def _reference_block_tokens(x0, params, bias, num_heads, scale):
+    """Pure-jnp mirror of _block_body on (T, C) tokens grouped in 128-token
+    window pairs; `bias` is (n_pairs_or_1, nh, 128, 128). Used as the
+    differentiable reference for the custom VJP (the backward recomputes
+    through this, remat-style)."""
+    (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+     ln1s, ln1b, ln2s, ln2b, fc1k, fc1b, fc2k, fc2b) = params
+    t, c = x0.shape
+    dtype = x0.dtype
 
-    Requires H % 8 == 0 and W % 16 == 0 (even windows per row)."""
-    b, h, w, c = x.shape
-    assert h % 8 == 0 and w % 16 == 0
+    def layernorm(v, s, b):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
+        y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * s + b).astype(dtype)
+
+    h = layernorm(x0, ln1s, ln1b)
+    qkv = jnp.dot(h, qkv_kernel.astype(dtype),
+                  preferred_element_type=jnp.float32)
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias
     hd = c // num_heads
-    scale = hd ** -0.5
-    g_blk = w // 16                        # window pairs per strip
-    nr = h // 8                            # strips per image
-    n_pairs = nr * g_blk
+    n_pairs = t // 128
+    qkv = qkv.reshape(n_pairs, 128, 3, num_heads, hd)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3).astype(dtype) * scale
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3).astype(dtype)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3).astype(dtype)
+    s = jnp.einsum("ghnd,ghmd->ghnm", q, k,
+                   preferred_element_type=jnp.float32)
+    nb = bias if bias.shape[0] == n_pairs else jnp.broadcast_to(
+        bias, (n_pairs,) + bias.shape[1:])
+    e = jnp.exp(s + nb.astype(jnp.float32))
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    o = jnp.einsum("ghnm,ghmd->ghnd", p, v,
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(t, c).astype(dtype)
+    attn = jnp.dot(o, proj_kernel.astype(dtype),
+                   preferred_element_type=jnp.float32) + proj_bias
+    x1 = x0.astype(jnp.float32) + attn
+    h2 = layernorm(x1, ln2s, ln2b)
+    hid = jnp.dot(h2, fc1k.astype(dtype),
+                  preferred_element_type=jnp.float32) + fc1b
+    hid = (hid * 0.5 * (1.0 + jax.lax.erf(
+        hid * 0.7071067811865475))).astype(dtype)
+    mlp = jnp.dot(hid, fc2k.astype(dtype),
+                  preferred_element_type=jnp.float32) + fc2b
+    return (x1 + mlp).astype(dtype)
+
+
+def _reference_2d(x, params, pair_bias, *, num_heads, scale, g_blk, nr,
+                  bias_is_constant):
+    """jnp mirror of the strip kernel on (B,H,W,C) — the VJP recompute path."""
+    b, h, w, c = x.shape
+    nwin = w // 8
+    xt = x.reshape(b, nr, 8, nwin, 8, c).transpose(0, 1, 3, 2, 4, 5)
+    xt = xt.reshape(b * nr * g_blk * 128, c)
+    if bias_is_constant:
+        bias = pair_bias                          # (1, nh, 128, 128)
+    else:                                          # (2, g_blk, nh, 128, 128)
+        per_strip = jnp.concatenate(
+            [jnp.broadcast_to(pair_bias[0],
+                              (nr - 1,) + pair_bias.shape[1:]),
+             pair_bias[1:]], axis=0)
+        bias = jnp.tile(per_strip.reshape((nr * g_blk,)
+                                          + pair_bias.shape[2:]),
+                        (b, 1, 1, 1))
+    y = _reference_block_tokens(xt, params, bias, num_heads, scale)
+    y = y.reshape(b, nr, nwin, 8, 8, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_2d(meta, x, params, pair_bias):
+    """meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret).
+    Forward = Pallas strip kernel; backward = XLA autodiff through the jnp
+    reference with forward recompute (remat-style: only the block INPUT is
+    saved, like the reference's use_checkpoint_attn/ffn flags,
+    network_swinir.py:164-277 under torch.utils.checkpoint)."""
+    return _fused_2d_fwd_impl(meta, x, params, pair_bias)
+
+
+def _fused_2d_fwd(meta, x, params, pair_bias):
+    return _fused_2d_fwd_impl(meta, x, params, pair_bias), \
+        (x, params, pair_bias)
+
+
+def _fused_2d_bwd(meta, res, g):
+    num_heads, scale, g_blk, nr, bias_is_constant, _ = meta
+    x, params, pair_bias = res
+    _, vjp = jax.vjp(
+        lambda xx, pp, bb: _reference_2d(
+            xx, pp, bb, num_heads=num_heads, scale=scale, g_blk=g_blk,
+            nr=nr, bias_is_constant=bias_is_constant),
+        x, params, pair_bias)
+    return vjp(g)
+
+
+_fused_2d.defvjp(_fused_2d_fwd, _fused_2d_bwd)
+
+
+def _fused_2d_fwd_impl(meta, x, params, pair_bias):
+    num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta
+    (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+     ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+     fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) = params
+    b, h, w, c = x.shape
 
     wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
                                               proj_kernel, num_heads)
     wq, wk, wv, wp = (wt.astype(x.dtype) for wt in (wq, wk, wv, wp))
-    pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
-                               n_pairs).astype(jnp.bfloat16)
-    bias_is_constant = mask is None
     if bias_is_constant:
-        pair_bias = pair_bias[:1]
         bias_spec = pl.BlockSpec((1, num_heads, 128, 128),
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        # shifted masks have only 2 distinct strip patterns (interior
-        # strips all share one; the bottom strip wraps vertically) — keep
-        # both resident in VMEM instead of streaming 1.5 MB per program
-        pair_bias = jnp.stack([pair_bias[:g_blk],
-                               pair_bias[(nr - 1) * g_blk:]])
         bias_spec = pl.BlockSpec(
             (1, g_blk, num_heads, 128, 128),
             lambda i: (jnp.where(jax.lax.rem(i, nr) == nr - 1, 1, 0),
@@ -203,11 +283,52 @@ def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,
     )(x, wq, wk, wv, bq, bk, bv, wp,
-      proj_bias.astype(jnp.float32), pair_bias,
+      proj_bias.astype(jnp.float32), pair_bias.astype(jnp.bfloat16),
       ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
       ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
       fc1_kernel.astype(x.dtype), fc1_bias.astype(jnp.float32),
       fc2_kernel.astype(x.dtype), fc2_bias.astype(jnp.float32))
+
+
+def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+                         bias_table, rel_index, num_heads,
+                         ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+                         fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+                         mask=None, interpret: bool = False):
+    """Fused block directly on the (B, H, W, C) feature map: one program per
+    8-row window strip; window partition/reverse happen as VMEM relayouts
+    inside the kernel instead of XLA reshapes through HBM (the dominant
+    inter-block cost at C=180). Caller still applies the cyclic shift roll.
+
+    Differentiable: forward runs the Pallas kernel; the custom VJP
+    recomputes through a jnp reference (remat memory profile).
+
+    Requires H % 8 == 0 and W % 16 == 0 (even windows per row)."""
+    b, h, w, c = x.shape
+    assert h % 8 == 0 and w % 16 == 0
+    hd = c // num_heads
+    scale = hd ** -0.5
+    g_blk = w // 16                        # window pairs per strip
+    nr = h // 8                            # strips per image
+    n_pairs = nr * g_blk
+
+    pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
+                               n_pairs)
+    bias_is_constant = mask is None
+    if bias_is_constant:
+        pair_bias = pair_bias[:1]
+    else:
+        # shifted masks have only 2 distinct strip patterns (interior
+        # strips all share one; the bottom strip wraps vertically) — keep
+        # both resident in VMEM instead of streaming 1.5 MB per program
+        pair_bias = jnp.stack([pair_bias[:g_blk],
+                               pair_bias[(nr - 1) * g_blk:]])
+
+    params = (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+              ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+              fc1_kernel, fc1_bias, fc2_kernel, fc2_bias)
+    meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret)
+    return _fused_2d(meta, x, params, pair_bias)
 
 
 def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,

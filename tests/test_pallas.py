@@ -137,3 +137,79 @@ def test_fused_block_2d_strip_path_matches():
         got = fused.apply(fused_vars, x)
     assert len(calls) == 4          # every block took the strip path
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_block_2d_gradients_match_standard():
+    """grad through the fused (custom VJP) path == grad through the XLA
+    path for both input and every parameter, incl. the rel-pos bias table
+    (trainable) on shifted + unshifted blocks."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR, fused_block_params
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 16, 16, 1), jnp.float32)
+    tgt = jnp.asarray(np.random.RandomState(3).rand(1, 16, 16, 1), jnp.float32)
+    kw = dict(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+              num_heads=(4,), window_size=8, mlp_ratio=2.0, upsampler="")
+    std = SwinIR(**kw)
+    variables = std.init(jax.random.PRNGKey(0), x)
+
+    def loss_std(p):
+        return jnp.mean((std.apply({"params": p}, x) - tgt) ** 2)
+
+    g_std = jax.grad(loss_std)(variables["params"])
+    g_std_fused_naming = fused_block_params(
+        jax.tree_util.tree_map(np.asarray, g_std))
+
+    fused = SwinIR(**kw, fuse_block=True)
+    fp = fused_block_params(variables["params"])
+
+    orig2d = sb.swin_block_pallas_2d
+    with mock.patch.object(sb, "swin_block_pallas_2d",
+                           lambda *a, **k: orig2d(*a, **{**k, "interpret": True})):
+        def loss_fused(p):
+            return jnp.mean((fused.apply({"params": p}, x, train=True)
+                             - tgt) ** 2)
+        g_fused = jax.grad(loss_fused)(fp)
+
+    flat_want = jax.tree_util.tree_leaves_with_path(g_std_fused_naming)
+    flat_got = jax.tree_util.tree_leaves_with_path(g_fused)
+    assert len(flat_want) == len(flat_got)
+    for (pw, w_), (pg, g_) in zip(flat_want, flat_got):
+        assert pw == pg
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   atol=5e-5, rtol=1e-3,
+                                   err_msg=str(pw))
+
+
+def test_fused_block_training_smoke():
+    """A few optimizer steps through the fused path must reduce the loss."""
+    from unittest import mock
+    import optax
+    from kair_tpu.models.swinir import SwinIR
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 16, 16, 1), jnp.float32)
+    tgt = x
+    model = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+                   num_heads=(4,), window_size=8, mlp_ratio=2.0,
+                   upsampler="", fuse_block=True)
+    orig2d = sb.swin_block_pallas_2d
+    with mock.patch.object(sb, "swin_block_pallas_2d",
+                           lambda *a, **k: orig2d(*a, **{**k, "interpret": True})):
+        variables = model.init(jax.random.PRNGKey(0), x)
+        params = variables["params"]
+        opt = optax.adam(3e-3)
+        ost = opt.init(params)
+
+        def loss_fn(p):
+            return jnp.mean((model.apply({"params": p}, x, train=True)
+                             - tgt) ** 2)
+
+        losses = []
+        for _ in range(8):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            up, ost = opt.update(g, ost)
+            params = optax.apply_updates(params, up)
+            losses.append(float(l))
+    assert losses[-1] < losses[0], losses
