@@ -90,3 +90,45 @@ def test_summary_counts():
     rep = summary_report(model, v, x)
     assert "params" in rep and "FLOPs" in rep
     assert activation_count(lambda a: model.apply(v, a), x) > 0
+
+
+def test_anscombe_variance_stabilisation():
+    """Anscombe-transformed Poisson variates have ~unit variance across a
+    wide intensity range, and the unbiased inverse recovers the mean
+    (fork 理论测试/test_anscombe_gaussian.py subject matter)."""
+    from kair_tpu.utils.spect import anscombe, inverse_anscombe
+
+    rng = np.random.default_rng(0)
+    for lam in (5.0, 20.0, 80.0, 150.0):
+        k = rng.poisson(lam, size=200_000)
+        v = anscombe(k).var()
+        assert abs(v - 1.0) < 0.05, (lam, v)
+        # the unbiased inverse maps E[anscombe(k)] back to λ (it corrects
+        # the Jensen bias of the sqrt — applied to the denoised/expected
+        # transform value, as in Makitalo & Foi)
+        lam_hat = float(inverse_anscombe(np.mean(anscombe(k))))
+        assert abs(lam_hat - lam) / lam < 0.02, (lam, lam_hat)
+        biased = float(inverse_anscombe(np.mean(anscombe(k)),
+                                        unbiased=False))
+        assert abs(lam_hat - lam) < abs(biased - lam), (lam, lam_hat, biased)
+
+
+def test_binomial_thinning_is_poisson_dose_reduction():
+    """thin(Poisson(λ), p) ≡ Poisson(pλ): mean AND variance must both be
+    pλ (a naive scale-by-p would give variance p²λ)."""
+    from kair_tpu.utils.spect import binomial_thin
+
+    rng = np.random.default_rng(1)
+    lam, p = 40.0, 0.25
+    full = rng.poisson(lam, size=500_000).astype(np.float32)
+    low = binomial_thin(full, p, rng)
+    assert abs(low.mean() - p * lam) / (p * lam) < 0.01
+    assert abs(low.var() - p * lam) / (p * lam) < 0.02
+    # and the distribution matches a direct Poisson(pλ) draw (chi^2-ish)
+    direct = rng.poisson(p * lam, size=500_000)
+    for q in (5, 25, 50, 75, 95):
+        a, b = np.percentile(low, q), np.percentile(direct, q)
+        assert abs(a - b) <= 1.0, (q, a, b)
+    import pytest
+    with pytest.raises(ValueError):
+        binomial_thin(full, 1.5, rng)
