@@ -141,6 +141,190 @@ def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
     out_ref[0] = y4.reshape(8, w, c)
 
 
+def _gelu_grad(pre):
+    """d/dx [x·Φ(x)] = Φ(x) + x·φ(x) (erf via the A&S polynomial)."""
+    cdf = 0.5 * (1.0 + _erf(pre * 0.7071067811865475))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * pre * pre)
+    return cdf + pre * pdf
+
+
+def _kernel_2d_bwd(x_ref, dy_ref,
+                   wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                   wp_ref, bp_ref, bias_ref,
+                   ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+                   fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
+                   dx_ref, dwq_ref, dwk_ref, dwv_ref,
+                   dbq_ref, dbk_ref, dbv_ref, dwp_ref, dbp_ref, dbias_ref,
+                   dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref,
+                   dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
+                   *, num_heads: int, scale: float, pairs_per_block: int,
+                   bias_mode: str, nr: int):
+    """Fused backward for one strip: recompute the forward in VMEM, then
+    chain rule. Parameter grads accumulate across the (sequential) grid
+    into constant-index output blocks; dbias accumulates per mask pattern."""
+    g_blk = pairs_per_block
+    c = x_ref.shape[-1]
+    w = x_ref.shape[2]
+    nwin = w // 8
+    t = g_blk * 128
+    i = pl.program_id(0)
+
+    # init accumulators on first visit of each output block
+    @pl.when(i == 0)
+    def _init():
+        for r in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+                  dwp_ref, dbp_ref, dln1s_ref, dln1b_ref, dln2s_ref,
+                  dln2b_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref):
+            r[...] = jnp.zeros_like(r)
+
+    # dbias is a constant-index block covering all patterns (switching
+    # output blocks would lose accumulated content on revisit)
+    @pl.when(i == 0)
+    def _init_bias():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    is_last_strip = jax.lax.rem(i, nr) == nr - 1
+
+    x0 = x_ref[0].reshape(8, nwin, 8, c).transpose(1, 0, 2, 3).reshape(t, c)
+    dy = dy_ref[0].reshape(8, nwin, 8, c).transpose(1, 0, 2, 3).reshape(t, c)
+    dy = dy.astype(jnp.float32)
+    dtype = x0.dtype
+
+    def ln_fwd(v, s_ref, b_ref):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        xhat = (vf - mu) * inv
+        return xhat, inv, (xhat * s_ref[:] + b_ref[:]).astype(dtype)
+
+    def ln_bwd(dout, xhat, inv, s_ref, ds_ref, db_ref):
+        # dout f32 (T,C) w.r.t. LN output; returns grad w.r.t. LN input
+        ds_ref[...] += jnp.sum(dout * xhat, axis=0)
+        db_ref[...] += jnp.sum(dout, axis=0)
+        dz = dout * s_ref[:]
+        m1 = jnp.mean(dz, axis=-1, keepdims=True)
+        m2 = jnp.mean(dz * xhat, axis=-1, keepdims=True)
+        return inv * (dz - m1 - xhat * m2)
+
+    # ---- forward recompute (pass 1: keep only per-head outputs) --------
+    xhat1, inv1, h = ln_fwd(x0, ln1s_ref, ln1b_ref)
+
+    def head_fwd(hd_i):
+        q = ((jnp.dot(h, wq_ref[hd_i], preferred_element_type=jnp.float32)
+              + bq_ref[hd_i]) * scale).astype(dtype)
+        k = (jnp.dot(h, wk_ref[hd_i], preferred_element_type=jnp.float32)
+             + bk_ref[hd_i]).astype(dtype)
+        v = (jnp.dot(h, wv_ref[hd_i], preferred_element_type=jnp.float32)
+             + bv_ref[hd_i]).astype(dtype)
+        p_gs, o_gs = [], []
+        for g in range(g_blk):
+            qg, kg = q[g * 128:(g + 1) * 128], k[g * 128:(g + 1) * 128]
+            sg = jax.lax.dot_general(qg, kg, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if bias_mode == "const":
+                bias = bias_ref[0, hd_i]
+            else:
+                bias = bias_ref[0, g, hd_i]
+            e = jnp.exp(sg.astype(jnp.float32) + bias.astype(jnp.float32))
+            pg = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            p_gs.append(pg)
+            o_gs.append(jnp.dot(pg.astype(dtype), v[g * 128:(g + 1) * 128],
+                                preferred_element_type=jnp.float32))
+        return q, k, v, p_gs, jnp.concatenate(o_gs, axis=0)
+
+    acc = jnp.concatenate([head_fwd(hd_i)[4] for hd_i in range(num_heads)],
+                          axis=-1).astype(dtype)   # (T, nh*32)
+    attn = jnp.dot(acc, wp_ref[:], preferred_element_type=jnp.float32) \
+        + bp_ref[:]
+    x1 = x0.astype(jnp.float32) + attn
+    xhat2, inv2, h2 = ln_fwd(x1, ln2s_ref, ln2b_ref)
+    pre = jnp.dot(h2, fc1w_ref[:], preferred_element_type=jnp.float32) \
+        + fc1b_ref[:]
+    hid = (pre * 0.5 * (1.0 + _erf(pre * 0.7071067811865475))).astype(dtype)
+
+    # ---- backward ----------------------------------------------------------
+    # y = x1 + fc2(gelu(fc1(LN2(x1))))
+    dfc2b_ref[...] += jnp.sum(dy, axis=0)
+    dfc2w_ref[...] += jax.lax.dot_general(
+        hid, dy.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dhid = jax.lax.dot_general(dy.astype(dtype), fc2w_ref[:],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dpre = dhid * _gelu_grad(pre)
+    dfc1b_ref[...] += jnp.sum(dpre, axis=0)
+    dfc1w_ref[...] += jax.lax.dot_general(
+        h2, dpre.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh2 = jax.lax.dot_general(dpre.astype(dtype), fc1w_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx1 = dy + ln_bwd(dh2, xhat2, inv2, ln2s_ref, dln2s_ref, dln2b_ref)
+
+    # x1 = x0 + acc @ wp + bp
+    dbp_ref[...] += jnp.sum(dx1, axis=0)
+    dwp_ref[...] += jax.lax.dot_general(
+        acc, dx1.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dacc = jax.lax.dot_general(dx1.astype(dtype), wp_ref[:],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    # pass 2: recompute each head and backprop it (one head live at a time)
+    dh = jnp.zeros((t, c), jnp.float32)
+    for hd_i in range(num_heads):
+        q, k, v, p_gs, _ = head_fwd(hd_i)
+        do = dacc[:, hd_i * _HD_PAD:(hd_i + 1) * _HD_PAD].astype(dtype)
+        dq_list, dk_list, dv_list = [], [], []
+        for g in range(g_blk):
+            sl = slice(g * 128, (g + 1) * 128)
+            p = p_gs[g]
+            dog = do[sl]
+            dv_list.append(jax.lax.dot_general(
+                p.astype(dtype), dog, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(dog, v[sl], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            if bias_mode == "const":
+                dbias_ref[0, hd_i] += ds
+            else:
+                @pl.when(is_last_strip)
+                def _acc_last(ds=ds, g=g, hd_i=hd_i):
+                    dbias_ref[1, g, hd_i] += ds
+
+                @pl.when(jnp.logical_not(is_last_strip))
+                def _acc_interior(ds=ds, g=g, hd_i=hd_i):
+                    dbias_ref[0, g, hd_i] += ds
+            dsd = ds.astype(dtype)
+            dq_list.append(jax.lax.dot_general(
+                dsd, k[sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+            dk_list.append(jax.lax.dot_general(
+                dsd, q[sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dq = jnp.concatenate(dq_list, axis=0)          # (T, 32) f32
+        dk = jnp.concatenate(dk_list, axis=0)
+        dv = jnp.concatenate(dv_list, axis=0)
+        for d_, w_ref, dw_ref, db_ref in (
+                (dq, wq_ref, dwq_ref, dbq_ref),
+                (dk, wk_ref, dwk_ref, dbk_ref),
+                (dv, wv_ref, dwv_ref, dbv_ref)):
+            db_ref[hd_i] += jnp.sum(d_, axis=0)
+            dd = d_.astype(dtype)
+            dw_ref[hd_i] += jax.lax.dot_general(
+                h, dd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh = dh + jax.lax.dot_general(
+                dd, w_ref[hd_i], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    dx0 = dx1 + ln_bwd(dh, xhat1, inv1, ln1s_ref, dln1s_ref, dln1b_ref)
+    dx4 = dx0.astype(dtype).reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
+    dx_ref[0] = dx4.reshape(8, w, c)
+
+
 def _reference_block_tokens(x0, params, bias, num_heads, scale):
     """Pure-jnp mirror of _block_body on (T, C) tokens grouped in 128-token
     window pairs; `bias` is (n_pairs_or_1, nh, 128, 128). Used as the
@@ -228,7 +412,13 @@ def _fused_2d_fwd(meta, x, params, pair_bias):
         (x, params, pair_bias)
 
 
-def _fused_2d_bwd(meta, res, g):
+# backward implementation switch: the Pallas backward kernel recomputes the
+# forward in VMEM and emits input + all parameter grads in one pass; the
+# XLA path (jax.vjp through the jnp reference) is the fallback/oracle.
+PALLAS_BWD = True
+
+
+def _fused_2d_bwd_xla(meta, res, g):
     num_heads, scale, g_blk, nr, bias_is_constant, _ = meta
     x, params, pair_bias = res
     _, vjp = jax.vjp(
@@ -237,6 +427,118 @@ def _fused_2d_bwd(meta, res, g):
             nr=nr, bias_is_constant=bias_is_constant),
         x, params, pair_bias)
     return vjp(g)
+
+
+def _fused_2d_bwd_pallas(meta, res, g):
+    num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta
+    x, params, pair_bias = res
+    (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+     ln1s, ln1b, ln2s, ln2b, fc1k, fc1b, fc2k, fc2b) = params
+    b, h, w, c = x.shape
+    hd = c // num_heads
+    hidden = fc1k.shape[1]
+    nh = num_heads
+    bias_mode = "const" if bias_is_constant else "strip2"
+
+    wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
+                                              proj_kernel, num_heads)
+    wq, wk, wv, wp = (wt.astype(x.dtype) for wt in (wq, wk, wv, wp))
+
+    strip_spec = pl.BlockSpec(
+        (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
+        memory_space=pltpu.VMEM)
+    if bias_is_constant:
+        bias_in_spec = pl.BlockSpec((1, nh, 128, 128),
+                                    lambda i: (0, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    else:
+        bias_in_spec = pl.BlockSpec(
+            (1, g_blk, nh, 128, 128),
+            lambda i: (jnp.where(jax.lax.rem(i, nr) == nr - 1, 1, 0),
+                       0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, h, w, c), x.dtype),          # dx
+        jax.ShapeDtypeStruct((nh, c, _HD_PAD), f32),          # dwq
+        jax.ShapeDtypeStruct((nh, c, _HD_PAD), f32),          # dwk
+        jax.ShapeDtypeStruct((nh, c, _HD_PAD), f32),          # dwv
+        jax.ShapeDtypeStruct((nh, _HD_PAD), f32),             # dbq
+        jax.ShapeDtypeStruct((nh, _HD_PAD), f32),             # dbk
+        jax.ShapeDtypeStruct((nh, _HD_PAD), f32),             # dbv
+        jax.ShapeDtypeStruct((nh * _HD_PAD, c), f32),         # dwp
+        jax.ShapeDtypeStruct((c,), f32),                      # dbp
+        jax.ShapeDtypeStruct(pair_bias.shape, f32),           # dbias
+        jax.ShapeDtypeStruct((c,), f32),                      # dln1s
+        jax.ShapeDtypeStruct((c,), f32),                      # dln1b
+        jax.ShapeDtypeStruct((c,), f32),                      # dln2s
+        jax.ShapeDtypeStruct((c,), f32),                      # dln2b
+        jax.ShapeDtypeStruct((c, hidden), f32),               # dfc1w
+        jax.ShapeDtypeStruct((hidden,), f32),                 # dfc1b
+        jax.ShapeDtypeStruct((hidden, c), f32),               # dfc2w
+        jax.ShapeDtypeStruct((c,), f32),                      # dfc2b
+    )
+    out_specs = (strip_spec,) + tuple(whole(o.shape) for o in out_shapes[1:])
+
+    kernel = functools.partial(
+        _kernel_2d_bwd, num_heads=num_heads, scale=scale,
+        pairs_per_block=g_blk, bias_mode=bias_mode, nr=nr)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    res_out = pl.pallas_call(
+        kernel,
+        grid=(b * nr,),
+        in_specs=[strip_spec, strip_spec,
+                  vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+                  vmem(), vmem(), bias_in_spec,
+                  vmem(), vmem(), vmem(), vmem(),
+                  vmem(), vmem(), vmem(), vmem()],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, g.astype(x.dtype), wq, wk, wv, bq, bk, bv, wp,
+      proj_bias.astype(f32), pair_bias.astype(jnp.bfloat16),
+      ln1s.astype(f32), ln1b.astype(f32), ln2s.astype(f32), ln2b.astype(f32),
+      fc1k.astype(x.dtype), fc1b.astype(f32),
+      fc2k.astype(x.dtype), fc2b.astype(f32))
+
+    (dx, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp, dbias,
+     dln1s, dln1b, dln2s, dln2b, dfc1w, dfc1b, dfc2w, dfc2b) = res_out
+
+    def unpack_w(dw):                       # (nh, c, 32) → (c, c)
+        return dw[:, :, :hd].transpose(1, 0, 2).reshape(c, c)
+
+    dqkv_kernel = jnp.concatenate(
+        [unpack_w(dwq), unpack_w(dwk), unpack_w(dwv)],
+        axis=1).astype(qkv_kernel.dtype)
+    if qkv_bias is None:
+        dqkv_bias = None
+    else:
+        dqkv_bias = jnp.concatenate(
+            [dbq[:, :hd].reshape(-1), dbk[:, :hd].reshape(-1),
+             dbv[:, :hd].reshape(-1)]).astype(qkv_bias.dtype)
+    dproj_kernel = dwp.reshape(nh, _HD_PAD, c)[:, :hd].reshape(
+        c, c).astype(proj_kernel.dtype)
+
+    dparams = (dqkv_kernel, dqkv_bias, dproj_kernel,
+               dbp.astype(proj_bias.dtype),
+               dln1s.astype(ln1s.dtype), dln1b.astype(ln1b.dtype),
+               dln2s.astype(ln2s.dtype), dln2b.astype(ln2b.dtype),
+               dfc1w.astype(fc1k.dtype), dfc1b.astype(fc1b.dtype),
+               dfc2w.astype(fc2k.dtype), dfc2b.astype(fc2b.dtype))
+    return dx, dparams, dbias.astype(pair_bias.dtype)
+
+
+def _fused_2d_bwd(meta, res, g):
+    if PALLAS_BWD:
+        return _fused_2d_bwd_pallas(meta, res, g)
+    return _fused_2d_bwd_xla(meta, res, g)
 
 
 _fused_2d.defvjp(_fused_2d_fwd, _fused_2d_bwd)
