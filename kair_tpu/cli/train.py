@@ -66,6 +66,51 @@ def evaluate(trainer: PlainTrainer, state: TrainState, test_loader: Loader,
     return float(np.mean(psnrs)), float(np.mean(ssims))
 
 
+def evaluate_video(trainer: PlainTrainer, state: TrainState,
+                   test_loader: Loader, opt: dict, logger,
+                   use_ema: bool = True):
+    """Per-folder tiled video eval during training (reference
+    main_train_vrt.py:205-246 + model_vrt._test_video :114-156): temporal
+    clips of val.num_frame_testing frames, spatial patches of
+    val.size_patch_testing, PSNR/SSIM averaged per clip folder."""
+    import jax
+    from kair_tpu.eval.video_test import test_video
+    from kair_tpu.utils import image as im
+
+    val = opt.get("val") or {}
+    ws = tuple((opt.get("netG") or {}).get("window_size") or (6, 8, 8))
+    sf = opt.get("scale") or 1
+    params = state.ema_params if (use_ema and state.ema_params is not None) \
+        else state.params
+    fwd = jax.jit(lambda a: trainer.model.apply({"params": params}, a))
+
+    psnrs, ssims = [], []
+    for batch in test_loader.epoch(0):
+        out = test_video(
+            fwd, batch["L"], sf=sf, window_size=ws,
+            num_frame_testing=val.get("num_frame_testing") or 0,
+            num_frame_overlapping=val.get("num_frame_overlapping") or 2,
+            size_patch_testing=val.get("size_patch_testing") or 0,
+            patch_overlap=val.get("overlap_size") or 20)
+        folder = batch.get("folder", ["?"])[0]
+        per = []
+        for i in range(out.shape[1]):
+            e = im.nhwc_to_uint(out[:, i])
+            gt = (np.clip(batch["H"][0, i], 0, 1) * 255.0).round().astype(
+                np.uint8)
+            per.append(im.calculate_psnr(e, gt, border=0))
+        psnr = float(np.mean(per))
+        ssim = float(np.mean([
+            im.calculate_ssim(im.nhwc_to_uint(out[:, i]),
+                              (np.clip(batch["H"][0, i], 0, 1) * 255.0
+                               ).round().astype(np.uint8), border=0)
+            for i in range(out.shape[1])]))
+        psnrs.append(psnr)
+        ssims.append(ssim)
+        logger.info(f"  {folder:20s} PSNR: {psnr:.2f} dB; SSIM: {ssim:.4f}")
+    return float(np.mean(psnrs)), float(np.mean(ssims))
+
+
 def main(json_path: Optional[str] = None, argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--opt", type=str, default=json_path, required=json_path is None)
@@ -96,6 +141,7 @@ def main(json_path: Optional[str] = None, argv=None):
 
     # datasets
     train_loader = test_loader = None
+    test_is_video = False
     for phase, ds_opt in opt["datasets"].items():
         if phase == "train":
             ds = define_dataset(ds_opt)
@@ -106,6 +152,8 @@ def main(json_path: Optional[str] = None, argv=None):
         elif phase == "test":
             ds = define_dataset(ds_opt)
             test_loader = Loader(ds, 1, shuffle=False, drop_last=False)
+            test_is_video = "video" in (ds_opt.get("dataset_type")
+                                        or "").lower()
 
     assert train_loader is not None, "no train dataset in options"
 
@@ -153,7 +201,12 @@ def main(json_path: Optional[str] = None, argv=None):
                 if ot.get("keep_only_latest"):
                     ck.prune_old(opt["path"]["models"], "S", current_step)
             if current_step % checkpoint_test == 0 and test_loader is not None:
-                psnr, ssim = evaluate(trainer, state, test_loader, border=border)
+                if test_is_video:
+                    psnr, ssim = evaluate_video(trainer, state, test_loader,
+                                                opt, logger)
+                else:
+                    psnr, ssim = evaluate(trainer, state, test_loader,
+                                          border=border)
                 logger.info(f"<epoch:{epoch:3d}, iter:{current_step:8,d}, "
                             f"Average PSNR : {psnr:<.2f}dB, SSIM : {ssim:<.4f}")
 

@@ -87,6 +87,9 @@ def test_video(fn: Callable, lq: np.ndarray, sf: int,
 
     if num_frame_testing:
         stride = num_frame_testing - num_frame_overlapping
+        assert stride > 0, (
+            f"num_frame_testing ({num_frame_testing}) must exceed "
+            f"num_frame_overlapping ({num_frame_overlapping})")
         d_idx = list(range(0, d - num_frame_testing, stride)) + [max(0, d - num_frame_testing)]
         E = None
         W = np.zeros((b, d, 1, 1, 1), np.float32)
