@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--scale", type=int, default=1)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--fuse", action="store_true",
+                        help="swinir: fused Pallas block (fwd + bwd kernels)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -44,6 +46,7 @@ def main(argv=None):
     if args.net == "swinir":
         netg.update({"embed_dim": 180, "depths": [6] * 6, "num_heads": [6] * 6,
                      "window_size": 8, "mlp_ratio": 2.0,
+                     "fuse_block": bool(args.fuse),
                      "upsampler": "pixelshuffle" if args.scale > 1 else ""})
     opt = {"netG": netg,
            "train": {"G_lossfn_type": "l1", "G_optimizer_lr": 2e-4,
