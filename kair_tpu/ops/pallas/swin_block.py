@@ -503,7 +503,8 @@ def _fused_2d_bwd_pallas(meta, res, g):
         out_shape=out_shapes,
         interpret=interpret,
     )(x, g.astype(x.dtype), wq, wk, wv, bq, bk, bv, wp,
-      proj_bias.astype(f32), pair_bias.astype(jnp.bfloat16),
+      proj_bias.astype(f32),
+      pair_bias.astype(f32 if bias_mode == "const" else jnp.bfloat16),
       ln1s.astype(f32), ln1b.astype(f32), ln2s.astype(f32), ln2b.astype(f32),
       fc1k.astype(x.dtype), fc1b.astype(f32),
       fc2k.astype(x.dtype), fc2b.astype(f32))
@@ -585,7 +586,10 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,
     )(x, wq, wk, wv, bq, bk, bv, wp,
-      proj_bias.astype(jnp.float32), pair_bias.astype(jnp.bfloat16),
+      proj_bias.astype(jnp.float32),
+      # constant bias is tiny — keep it f32-resident (no per-use cast);
+      # the 2-pattern shifted bias stays bf16 (f32 would be 6.3 MB of VMEM)
+      pair_bias.astype(jnp.float32 if bias_is_constant else jnp.bfloat16),
       ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
       ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
       fc1_kernel.astype(x.dtype), fc1_bias.astype(jnp.float32),
