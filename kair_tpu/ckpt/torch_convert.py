@@ -22,11 +22,25 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
-def load_torch_state_dict(path: str, param_key: Optional[str] = None) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint into a plain {name: np.ndarray} dict."""
+def load_torch_state_dict(path: str, param_key: Optional[str] = None,
+                          allow_pickle: bool = False) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into a plain {name: np.ndarray} dict.
+
+    weights_only=True by default: zoo checkpoints come from external URLs
+    (cli/download_models.py) and a pickled ``.pth`` can execute arbitrary
+    code on load. Plain tensor state dicts load fine under weights_only;
+    pass allow_pickle=True only for trusted local files that need it."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} is not a plain-tensor checkpoint (weights_only "
+                "load failed). If the file is trusted, retry with "
+                "allow_pickle=True — unpickling executes arbitrary code.")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if param_key is not None and param_key in sd:
         sd = sd[param_key]
     elif isinstance(sd, dict) and "state_dict" in sd:

@@ -13,6 +13,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <csetjmp>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -41,7 +42,16 @@ bool decode_png(const char* path, int want_c, Image* out) {
   if (!fp) return false;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -84,12 +94,30 @@ bool decode_png(const char* path, int want_c, Image* out) {
   return true;
 }
 
+// libjpeg's default error_exit calls exit() — a single corrupt JPEG in the
+// training set would kill the whole process. longjmp back and fail the
+// decode instead (mirrors the libpng setjmp pattern above).
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jump, 1);
+}
+
 bool decode_jpeg(const char* path, int want_c, Image* out) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, fp);
   jpeg_read_header(&cinfo, TRUE);
@@ -152,13 +180,13 @@ void augment_patch(const uint8_t* src, int ps, int c, int mode, uint8_t* dst) {
       int sy = y, sx = x;
       switch (mode) {
         case 0: break;
-        case 1: sy = ps - 1 - x; sx = ps - 1 - y; break;  // flipud(rot90)
+        case 1: sy = x; sx = y; break;                    // flipud(rot90) = transpose
         case 2: sy = ps - 1 - y; sx = x; break;           // flipud
         case 3: sy = ps - 1 - x; sx = y; break;           // rot90 k=3
         case 4: sy = y; sx = ps - 1 - x; break;           // flipud(rot180)
         case 5: sy = x; sx = ps - 1 - y; break;           // rot90
         case 6: sy = ps - 1 - y; sx = ps - 1 - x; break;  // rot180
-        case 7: sy = x; sx = y; break;                    // flipud(rot270)
+        case 7: sy = ps - 1 - x; sx = ps - 1 - y; break;  // flipud(rot270) = anti-transpose
       }
       std::memcpy(dst + (static_cast<size_t>(y) * ps + x) * c,
                   src + (static_cast<size_t>(sy) * ps + sx) * c, c);
@@ -261,6 +289,14 @@ int loader_sample_awgn_batch(void* handle, int batch, int ps, float sigma,
     }
   });
   return ok ? 0 : -1;
+}
+
+// Expose the augmentation table for mode-indexed parity tests against
+// utils_image.augment_img (the geometry must match exactly for seeded
+// python-batch reproduction and x8-ensemble parity).
+void loader_augment(const uint8_t* src, int ps, int c, int mode,
+                    uint8_t* dst) {
+  augment_patch(src, ps, c, mode, dst);
 }
 
 void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -52,8 +52,25 @@ def _load_lib():
         ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.loader_augment.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return lib
+
+
+def native_augment(patch: np.ndarray, mode: int) -> np.ndarray:
+    """Run the native 8-mode augmentation table on an (ps, ps, C) uint8
+    patch — exposed for parity tests against utils_image.augment_img."""
+    lib = _load_lib()
+    patch = np.ascontiguousarray(patch, np.uint8)
+    ps, ps2, c = patch.shape
+    assert ps == ps2
+    out = np.empty_like(patch)
+    lib.loader_augment(patch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       ps, c, mode,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
 
 
 class NativePatchLoader:

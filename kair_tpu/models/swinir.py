@@ -81,12 +81,12 @@ class SwinBlock(nn.Module):
         mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
         hidden = int(c * self.mlp_ratio)
 
-        # the strip (2D) kernel is differentiable (custom VJP with jnp
-        # recompute, remat memory profile); the window-pair fallback for
-        # W % 16 != 0 stays inference-only and training uses the XLA path
-        fused_2d_ok = self.fuse_block and n == 64 and w % 16 == 0
-        if fused_2d_ok or (self.fuse_block and n == 64 and not train):
-            from kair_tpu.ops.pallas.swin_block import swin_block_pallas
+        if self.fuse_block:
+            # the flat LN/MLP param layout is declared UNCONDITIONALLY when
+            # fuse_block=True: the param structure depends only on static
+            # config, never on the input geometry or the train flag (a
+            # runtime-dependent layout breaks flax param resolution when
+            # e.g. a W%16!=0 training crop follows a fused-geometry init).
             ln1s = self.param("norm1_scale", nn.initializers.ones, (c,))
             ln1b = self.param("norm1_bias", nn.initializers.zeros, (c,))
             ln2s = self.param("norm2_scale", nn.initializers.ones, (c,))
@@ -97,23 +97,38 @@ class SwinBlock(nn.Module):
             fc2k = self.param("fc2_kernel", nn.initializers.normal(0.02),
                               (hidden, c))
             fc2b = self.param("fc2_bias", nn.initializers.zeros, (c,))
+            flat = (qkv_kernel, qkv_b, proj_kernel, proj_b, ln1s, ln1b,
+                    ln2s, ln2b, fc1k, fc1b, fc2k, fc2b)
             if shift > 0:
                 x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            if fused_2d_ok:
-                # window partition/reverse fold into the kernel's strip
-                # relayout — no XLA reshape round-trips through HBM
+            nw = (h // ws) * (w // ws)
+            if n == 64 and h % 8 == 0 and w % 16 == 0:
+                # strip kernel: differentiable (custom VJP, remat memory
+                # profile); window partition/reverse fold into the kernel's
+                # VMEM relayout — no XLA reshape round-trips through HBM.
+                # safe=train: training logits are unbounded, so the forward
+                # subtracts the row max (ADVICE r1); the verified inference
+                # path keeps the cheaper max-free softmax.
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d
                 x = swin_block_pallas_2d(x, qkv_kernel, qkv_b, proj_kernel,
                                          proj_b, bias_table, rel_idx,
                                          self.num_heads, ln1s, ln1b, ln2s,
-                                         ln2b, fc1k, fc1b, fc2k, fc2b, mask)
-            else:
+                                         ln2b, fc1k, fc1b, fc2k, fc2b, mask,
+                                         safe=train)
+            elif n == 64 and nw % 2 == 0 and not train:
+                # window-pair kernel (inference-only fallback, W % 16 != 0)
+                from kair_tpu.ops.pallas.swin_block import swin_block_pallas
                 xw = window_partition(x, ws)
                 xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel,
                                        proj_b, bias_table, rel_idx,
                                        self.num_heads, ln1s, ln1b, ln2s, ln2b,
                                        fc1k, fc1b, fc2k, fc2b, mask)
                 x = window_reverse(xw, ws, h, w)
+            else:
+                # odd geometry (odd window count / tiny inputs) or training
+                # off the fused geometry: jnp path on the SAME flat params
+                x = _flat_block_xla(x, ws, flat, bias_table, rel_idx,
+                                    self.num_heads, mask)
             if shift > 0:
                 x = jnp.roll(x, (shift, shift), axis=(1, 2))
             return x
@@ -138,6 +153,35 @@ class SwinBlock(nn.Module):
         y = _gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
         return x + y
+
+
+def _flat_block_xla(x, ws, flat, bias_table, rel_idx, num_heads, mask):
+    """jnp fallback for fuse_block=True on geometries the Pallas kernels
+    don't cover: the full block (LN1 → W-MSA → residual → LN2 → MLP →
+    residual) computed from the FLAT param layout. Caller has already
+    applied the cyclic shift; LN is per-token so it commutes with the roll
+    (reference SwinTransformerBlock, network_swinir.py:239-277)."""
+    (qkv_kernel, qkv_b, proj_kernel, proj_b, ln1s, ln1b,
+     ln2s, ln2b, fc1k, fc1b, fc2k, fc2b) = flat
+    b, h, w, c = x.shape
+    dtype = x.dtype
+
+    def ln(v, s, bb):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
+        return (((vf - mu) * jax.lax.rsqrt(var + 1e-5)) * s + bb).astype(dtype)
+
+    y = ln(x, ln1s, ln1b)
+    yw = window_partition(y, ws)
+    yw = window_msa(yw, qkv_kernel, qkv_b, proj_kernel, proj_b,
+                    bias_table, rel_idx, num_heads, mask)
+    x = x + window_reverse(yw, ws, h, w)
+    z = ln(x, ln2s, ln2b)
+    z = jnp.dot(z, fc1k.astype(dtype)) + fc1b.astype(dtype)
+    z = _gelu(z)
+    z = jnp.dot(z, fc2k.astype(dtype)) + fc2b.astype(dtype)
+    return x + z
 
 
 class RSTB(nn.Module):

@@ -53,7 +53,7 @@ def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                 ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                 fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                 *, num_heads: int, scale: float,
-                g_blk: int, bias_mode: str):
+                g_blk: int, bias_mode: str, safe: bool = False):
     """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout."""
     c = x0.shape[-1]
     dtype = x0.dtype
@@ -90,10 +90,15 @@ def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                 bias = bias_ref[0, g, h]
             else:                             # per_pair: (g_blk, nh, 128, 128)
                 bias = bias_ref[g, h]
-            # softmax without the max-subtraction pass: scores are bounded
-            # (bf16 inputs, f32 accum) so f32 exp cannot overflow, and the
+            s = s + bias.astype(jnp.float32)
+            if safe:
+                # training path: logits are unbounded (a mid-training spike
+                # would overflow f32 exp), so pay the row-max pass
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+            # else: max-free softmax — inference scores through released
+            # checkpoints are bounded, f32 exp cannot overflow, and the
             # -1e9 pair mask maps to exp->0 exactly; saves 2 VPU passes
-            e = jnp.exp(s + bias.astype(jnp.float32))
+            e = jnp.exp(s)
             p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             outs.append(jnp.dot(p.astype(dtype), v[g * 128:(g + 1) * 128],
                                 preferred_element_type=jnp.float32))
@@ -123,7 +128,7 @@ def _kernel(x_ref, *refs, num_heads: int, scale: float,
 
 
 def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
-               pairs_per_block: int, bias_mode: str):
+               pairs_per_block: int, bias_mode: str, safe: bool = False):
     """Strip layout: x_ref (1, 8, W, C) — one window-row strip. The window
     partition/reverse is pure VMEM relayout here instead of XLA HBM
     round-trips between blocks."""
@@ -136,7 +141,7 @@ def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
     x4 = x_ref[0].reshape(8, nwin, 8, c).transpose(1, 0, 2, 3)
     x0 = x4.reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
-                    g_blk=g_blk, bias_mode=bias_mode)
+                    g_blk=g_blk, bias_mode=bias_mode, safe=safe)
     y4 = y.reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
     out_ref[0] = y4.reshape(8, w, c)
 
@@ -226,7 +231,11 @@ def _kernel_2d_bwd(x_ref, dy_ref,
                 bias = bias_ref[0, hd_i]
             else:
                 bias = bias_ref[0, g, hd_i]
-            e = jnp.exp(sg.astype(jnp.float32) + bias.astype(jnp.float32))
+            # backward only exists on the training path, where logits are
+            # unbounded — always the max-safe softmax (matches the safe
+            # forward exactly)
+            sb = sg.astype(jnp.float32) + bias.astype(jnp.float32)
+            e = jnp.exp(sb - jnp.max(sb, axis=-1, keepdims=True))
             pg = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             p_gs.append(pg)
             o_gs.append(jnp.dot(pg.astype(dtype), v[g * 128:(g + 1) * 128],
@@ -357,7 +366,10 @@ def _reference_block_tokens(x0, params, bias, num_heads, scale):
                    preferred_element_type=jnp.float32)
     nb = bias if bias.shape[0] == n_pairs else jnp.broadcast_to(
         bias, (n_pairs,) + bias.shape[1:])
-    e = jnp.exp(s + nb.astype(jnp.float32))
+    sb = s + nb.astype(jnp.float32)
+    # max-safe: this is the differentiable oracle/recompute path (XLA),
+    # where the 2 extra VPU passes don't matter
+    e = jnp.exp(sb - jnp.max(sb, axis=-1, keepdims=True))
     p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
     o = jnp.einsum("ghnm,ghmd->ghnd", p, v,
                    preferred_element_type=jnp.float32)
@@ -399,7 +411,8 @@ def _reference_2d(x, params, pair_bias, *, num_heads, scale, g_blk, nr,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_2d(meta, x, params, pair_bias):
-    """meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret).
+    """meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret,
+    safe).
     Forward = Pallas strip kernel; backward = XLA autodiff through the jnp
     reference with forward recompute (remat-style: only the block INPUT is
     saved, like the reference's use_checkpoint_attn/ffn flags,
@@ -419,7 +432,7 @@ PALLAS_BWD = True
 
 
 def _fused_2d_bwd_xla(meta, res, g):
-    num_heads, scale, g_blk, nr, bias_is_constant, _ = meta
+    num_heads, scale, g_blk, nr, bias_is_constant = meta[:5]
     x, params, pair_bias = res
     _, vjp = jax.vjp(
         lambda xx, pp, bb: _reference_2d(
@@ -430,7 +443,7 @@ def _fused_2d_bwd_xla(meta, res, g):
 
 
 def _fused_2d_bwd_pallas(meta, res, g):
-    num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta
+    num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta[:6]
     x, params, pair_bias = res
     (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
      ln1s, ln1b, ln2s, ln2b, fc1k, fc1b, fc2k, fc2b) = params
@@ -546,7 +559,8 @@ _fused_2d.defvjp(_fused_2d_fwd, _fused_2d_bwd)
 
 
 def _fused_2d_fwd_impl(meta, x, params, pair_bias):
-    num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta
+    num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta[:6]
+    safe = meta[6] if len(meta) > 6 else False
     (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
      ln1_scale, ln1_bias, ln2_scale, ln2_bias,
      fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) = params
@@ -569,7 +583,7 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
     grid = (b * nr,)
     kernel = functools.partial(
         _kernel_2d, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
-        bias_mode="const" if bias_is_constant else "strip2")
+        bias_mode="const" if bias_is_constant else "strip2", safe=safe)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     strip_spec = pl.BlockSpec(
         (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
@@ -600,7 +614,8 @@ def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
                          bias_table, rel_index, num_heads,
                          ln1_scale, ln1_bias, ln2_scale, ln2_bias,
                          fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
-                         mask=None, interpret: bool = False):
+                         mask=None, interpret: bool = False,
+                         safe: bool = False):
     """Fused block directly on the (B, H, W, C) feature map: one program per
     8-row window strip; window partition/reverse happen as VMEM relayouts
     inside the kernel instead of XLA reshapes through HBM (the dominant
@@ -633,7 +648,7 @@ def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     params = (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
               ln1_scale, ln1_bias, ln2_scale, ln2_bias,
               fc1_kernel, fc1_bias, fc2_kernel, fc2_bias)
-    meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret)
+    meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret, safe)
     return _fused_2d(meta, x, params, pair_bias)
 
 

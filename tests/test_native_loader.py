@@ -97,3 +97,18 @@ def test_native_throughput_beats_python(img_files):
     t_python = time.perf_counter() - t0
     # python re-decodes per example; native caches — expect a big win
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_native_augment_mode_table():
+    """The native 8-mode table must match utils_image.augment_img
+    mode-for-mode (x8-ensemble / seeded-batch reproduction depend on the
+    indexing, not just the D4 set)."""
+    from kair_tpu.data.native_loader import native_augment
+    from kair_tpu.utils.image import augment_img
+
+    rng = np.random.RandomState(3)
+    patch = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    for mode in range(8):
+        expected = np.ascontiguousarray(augment_img(patch, mode))
+        got = native_augment(patch, mode)
+        np.testing.assert_array_equal(got, expected, err_msg=f"mode {mode}")

@@ -213,3 +213,85 @@ def test_fused_block_training_smoke():
             params = optax.apply_updates(params, up)
             losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_fused_block_odd_geometry_inference():
+    """fuse_block=True on a 56x56 input (7x7=49 windows — odd pair count,
+    W%16!=0) must route through the jnp flat-param fallback instead of
+    crashing, and match the standard path (ADVICE r1)."""
+    from kair_tpu.models.swinir import SwinIR, fused_block_params
+
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 56, 56, 1), jnp.float32)
+    kw = dict(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+              num_heads=(4,), window_size=8, mlp_ratio=2.0, upsampler="")
+    std = SwinIR(**kw)
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = std.apply(variables, x)
+
+    fused = SwinIR(**kw, fuse_block=True)
+    fp = {"params": fused_block_params(variables["params"])}
+    got = fused.apply(fp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_block_train_off_fused_geometry():
+    """Init at a fused geometry, then train on a W%16!=0 crop: the param
+    structure must be identical across branches (static-config layout) and
+    grads must flow through the flat-param jnp fallback (ADVICE r1)."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    model = SwinIR(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+                   num_heads=(4,), window_size=8, mlp_ratio=2.0,
+                   upsampler="", fuse_block=True)
+    x_init = jnp.asarray(np.random.RandomState(6).rand(1, 16, 16, 1),
+                         jnp.float32)
+    orig2d = sb.swin_block_pallas_2d
+    with mock.patch.object(sb, "swin_block_pallas_2d",
+                           lambda *a, **k: orig2d(*a, **{**k, "interpret": True})):
+        variables = model.init(jax.random.PRNGKey(0), x_init)
+
+    x = jnp.asarray(np.random.RandomState(7).rand(1, 24, 24, 1), jnp.float32)
+
+    def loss_fn(p):
+        return jnp.mean(model.apply({"params": p}, x, train=True) ** 2)
+
+    l, g = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(l))
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(g))
+
+
+def test_fused_2d_safe_softmax_survives_logit_spike():
+    """safe=True (the training forward) must stay finite when attention
+    logits exceed the f32 exp overflow bound (~88); the max-free inference
+    variant would NaN here (ADVICE r1)."""
+    from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d
+
+    rng = np.random.RandomState(8)
+    c, nh = 24, 4
+    x = jnp.asarray(rng.rand(1, 8, 16, c) * 30.0, jnp.float32)  # big tokens
+    qkv_k = jnp.asarray(rng.randn(c, 3 * c), jnp.float32) * 1.0
+    pk = jnp.asarray(rng.randn(c, c), jnp.float32) * 0.05
+    pb = jnp.zeros((c,), jnp.float32)
+    ws = 8
+    bt = jnp.asarray(rng.randn((2 * ws - 1) ** 2, nh), jnp.float32) * 0.05
+    ri = jnp.asarray(relative_position_index(ws, ws))
+    ones, zeros = jnp.ones((c,)), jnp.zeros((c,))
+    hid = c * 2
+    fc1k = jnp.asarray(rng.randn(c, hid), jnp.float32) * 0.05
+    fc2k = jnp.asarray(rng.randn(hid, c), jnp.float32) * 0.05
+
+    def run(safe):
+        return swin_block_pallas_2d(
+            x, qkv_k, None, pk, pb, bt, ri, nh, ones, zeros, ones, zeros,
+            fc1k, jnp.zeros((hid,)), fc2k, zeros, None,
+            interpret=True, safe=safe)
+
+    # sanity: this input really does overflow the max-free softmax
+    unsafe = np.asarray(run(safe=False))
+    assert not np.isfinite(unsafe).all(), \
+        "test input no longer overflows — raise the scale"
+    out = np.asarray(run(safe=True))
+    assert np.isfinite(out).all()
