@@ -152,10 +152,10 @@ def main(argv=None):
             img_l = np.concatenate([img_l.astype(np.float32), m_map], -1)
             border, sf = 4, 4
         elif kind == "usrnet":
-            # kernels_12 validation kernel (dataset_usrnet.py:105-112)
-            from scipy.io import loadmat
+            # kernels_12 validation kernel, vendored in-repo
+            # (reference dataset_usrnet.py:105-112)
             from scipy import ndimage
-            k = loadmat("/root/reference/kernels/kernels_12.mat")["kernels"][0, 0]
+            k = dsisr.load_kernels_12()[0]
             k = (k / k.sum()).astype(np.float32)
             sf = 4
             img_h = im.modcrop(img_h, sf)

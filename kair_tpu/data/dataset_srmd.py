@@ -27,12 +27,9 @@ class DatasetSRMD(Dataset):
         self.sigma_min, self.sigma_max = sigma[0], sigma[1]
         self.sigma_test = opt.get("sigma_test") or 0
         self.phase = opt.get("phase") or "train"
-        # published PCA basis (reference loads kernels/srmd_pca_*.mat)
-        pca_path = opt.get("pca_path") or "/root/reference/kernels/srmd_pca_matlab.mat"
-        try:
-            self.p = sisr.load_srmd_pca(pca_path)
-        except Exception:
-            self.p = sisr.cal_pca_matrix(ksize=15, dim_pca=15)
+        # published PCA basis, vendored in-repo (data/assets/srmd_pca.npz;
+        # reference loads kernels/srmd_pca_*.mat)
+        self.p = sisr.load_srmd_pca(opt.get("pca_path"))
         self.ksize = int(np.sqrt(self.p.shape[-1]))
         self.paths_H = im.get_image_paths(opt["dataroot_H"])
 

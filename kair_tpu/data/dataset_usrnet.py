@@ -28,13 +28,11 @@ class DatasetUSRNet(Dataset):
         self.sf_validation = opt.get("sf_validation") or 3
         self.batch_size = opt.get("dataloader_batch_size") or 16
         self.phase = opt.get("phase") or "train"
-        kernels_path = opt.get("kernels_path") or "/root/reference/kernels/kernels_12.mat"
-        try:
-            from scipy.io import loadmat
-            self.val_kernel = loadmat(kernels_path)["kernels"][0, 0].astype(np.float64)
-            self.val_kernel /= self.val_kernel.sum()
-        except Exception:
-            self.val_kernel = sisr.anisotropic_gaussian(25, 0.0, 2.0, 2.0)
+        # first kernels_12 kernel, vendored in-repo (reference
+        # dataset_usrnet.py:32,105 loads kernels/kernels_12.mat)
+        self.val_kernel = sisr.load_kernels_12(
+            opt.get("kernels_path"))[0].astype(np.float64)
+        self.val_kernel /= self.val_kernel.sum()
         self.paths_H = im.get_image_paths(opt["dataroot_H"])
 
     def __len__(self):

@@ -10,6 +10,7 @@ is vectorised rather than the reference's per-pixel loops
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -88,11 +89,37 @@ def cal_pca_matrix(ksize: int = 15, l_max: float = 12.0, dim_pca: int = 15,
     return get_pca_matrix(kernels, dim_pca)
 
 
-def load_srmd_pca(path: str = "/root/reference/kernels/srmd_pca_matlab.mat") -> np.ndarray:
-    """Load the published SRMD PCA basis for checkpoint parity."""
-    from scipy.io import loadmat
+_ASSETS = os.path.join(os.path.dirname(__file__), "..", "data", "assets")
 
-    return np.asarray(loadmat(path)["P"], np.float32)
+
+def load_srmd_pca(path: Optional[str] = None) -> np.ndarray:
+    """The published (15, 225) SRMD PCA projection basis. Released SRMD
+    checkpoints were trained against exactly this P, so it is a data asset
+    of the degradation protocol — vendored at data/assets/srmd_pca.npz
+    (reference ships it as kernels/srmd_pca_matlab.mat; cal_pca_matrix
+    regenerates an equivalent basis from scratch)."""
+    if path is None:
+        path = os.path.join(_ASSETS, "srmd_pca.npz")
+    if path.endswith(".mat"):
+        from scipy.io import loadmat
+
+        return np.asarray(loadmat(path)["P"], np.float32)
+    return np.load(path)["P"].astype(np.float32)
+
+
+def load_kernels_12(path: Optional[str] = None) -> np.ndarray:
+    """The 12 (25, 25) validation blur kernels (8 Gaussian + 4 motion) of
+    the USRNet/SRMD eval protocols — vendored at data/assets/kernels_12.npz
+    (reference: kernels/kernels_12.mat, dataset_usrnet.py:32,105)."""
+    if path is None:
+        path = os.path.join(_ASSETS, "kernels_12.npz")
+    if path.endswith(".mat"):
+        from scipy.io import loadmat
+
+        cells = loadmat(path)["kernels"]
+        return np.stack([np.asarray(cells[0, i], np.float64)
+                         for i in range(cells.shape[1])])
+    return np.load(path)["kernels"]
 
 
 def pca_project(k: np.ndarray, pca: np.ndarray) -> np.ndarray:

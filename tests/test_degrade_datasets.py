@@ -124,3 +124,27 @@ def test_usrnet_dataset_eval_mode(imgdir):
     ex = ds.get_example(0, np.random.default_rng(0))
     assert ex["sf"] == 3
     assert ex["H"].shape[0] == ex["L"].shape[0] * 3
+
+
+def test_vendored_kernel_assets():
+    """The framework must not depend on the reference tree at runtime:
+    the SRMD PCA basis and kernels_12 are vendored in data/assets/ and
+    must match the published .mat values bit-exactly."""
+    from kair_tpu.degrade import sisr
+
+    p = sisr.load_srmd_pca()
+    assert p.shape == (15, 225) and p.dtype == np.float32
+    ks = sisr.load_kernels_12()
+    assert ks.shape == (12, 25, 25)
+    # every kernel is a plausible normalized PSF
+    assert np.all(ks.reshape(12, -1).sum(1) > 0.99)
+    import os
+    if os.path.exists("/root/reference/kernels/srmd_pca_matlab.mat"):
+        from scipy.io import loadmat
+        ref_p = np.asarray(
+            loadmat("/root/reference/kernels/srmd_pca_matlab.mat")["P"],
+            np.float32)
+        np.testing.assert_array_equal(p, ref_p)
+        cells = loadmat("/root/reference/kernels/kernels_12.mat")["kernels"]
+        for i in range(12):
+            np.testing.assert_array_equal(ks[i], cells[0, i])
