@@ -353,6 +353,12 @@ def convert_swinir(sd: Dict[str, np.ndarray], depths, upsampler: str = "",
     params: Dict[str, Any] = {"conv_first": {"conv": conv_leaf(sd, "conv_first")}}
     if patch_norm and "patch_embed.norm.weight" in sd:
         params["patch_norm"] = _ln(sd, "patch_embed.norm")
+    if "absolute_pos_embed" in sd:
+        # ape=True checkpoints: (1, num_patches, C) -> NHWC (1, S, S, C)
+        a = sd["absolute_pos_embed"]
+        s = int(round(a.shape[1] ** 0.5))
+        assert s * s == a.shape[1], "non-square ape patch grid"
+        params["absolute_pos_embed"] = a.reshape(1, s, s, a.shape[-1])
     for il, depth in enumerate(depths):
         layer: Dict[str, Any] = {}
         for j in range(depth):

@@ -255,6 +255,23 @@ class SwinIR(nn.Module):
             if self.patch_norm:
                 feat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     name="patch_norm")(feat)
+            if self.ape:
+                # absolute position embedding (reference
+                # network_swinir.py:643-651,679): (1, num_patches, C) added
+                # after patch norm; our NHWC layout keeps it (1, S, S, C).
+                # Like the reference, the embedding is sized by img_size —
+                # other input sizes cannot use ape.
+                fh, fw = feat.shape[1], feat.shape[2]
+                if (fh, fw) != (self.img_size, self.img_size):
+                    raise ValueError(
+                        f"ape=True requires {self.img_size}x{self.img_size} "
+                        f"inputs (got {fh}x{fw}) — the absolute position "
+                        "embedding is sized by img_size, as in the reference")
+                ape = self.param("absolute_pos_embed",
+                                 nn.initializers.truncated_normal(0.02),
+                                 (1, self.img_size, self.img_size,
+                                  self.embed_dim))
+                feat = feat + ape.astype(feat.dtype)
             for il, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
                 layer = RSTB(self.embed_dim, d, nh, self.window_size,
                              self.mlp_ratio, self.resi_connection,

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from kair_tpu.train.losses import gan_loss, get_loss_fn
+from kair_tpu.train.losses import (gan_loss, get_loss_fn,
+                                   gradient_penalty_loss, r1_penalty)
 from kair_tpu.train.schedulers import multistep
 
 
@@ -78,6 +79,12 @@ class GanTrainer:
         self.d_update_ratio = ot.get("D_update_ratio") or 1
         self.d_init_iters = ot.get("D_init_iters") or 0
         self.ema_decay = ot.get("E_decay") or 0
+        # StyleGAN2-style D regularizers (reference loss.py:222-290; the
+        # reference defines them for GPEN-style training without wiring
+        # them into ModelGAN — here they're first-class options)
+        self.r1_weight = ot.get("D_r1_weight") or 0
+        self.gp_weight = ot.get("D_gp_weight") or 0
+        self.reg_seed = int(ot.get("D_reg_seed") or 0)
 
         g_lr = ot.get("G_optimizer_lr") or 1e-4
         d_lr = ot.get("D_optimizer_lr") or 1e-4
@@ -188,6 +195,17 @@ class GanTrainer:
                         True, gan_type) + 0.5 * gan_loss(
                         pred_fake - jax.lax.stop_gradient(jnp.mean(pred_real, 0, keepdims=True)),
                         False, gan_type)
+                if self.r1_weight > 0:
+                    loss += self.r1_weight * r1_penalty(
+                        lambda img: self._d_apply(params_d, state.spectral_d,
+                                                  img, False)[0], H)
+                if self.gp_weight > 0:
+                    rng = jax.random.fold_in(
+                        jax.random.PRNGKey(self.reg_seed), state.step)
+                    loss += self.gp_weight * gradient_penalty_loss(
+                        lambda img: self._d_apply(params_d, state.spectral_d,
+                                                  img, False)[0],
+                        H, e_det, rng=rng)
                 return loss, (sp2, jnp.mean(pred_real), jnp.mean(pred_fake))
 
             (d_total, (spectral_d, d_real, d_fake)), grads_d = \

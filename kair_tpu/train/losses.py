@@ -147,3 +147,65 @@ def get_loss_fn(name: str, opt_train: Optional[dict] = None) -> Callable:
             max_pixel=opt_train.get("G_poisson_max_pixel") or 150.0,
             epsilon=opt_train.get("G_poisson_epsilon") or 1e-9)
     raise NotImplementedError(f"Loss type [{name}] is not found.")
+
+
+# ----------------------------------------------------------------------------
+# StyleGAN2 training regularizers (reference models/loss.py:222-290)
+# ----------------------------------------------------------------------------
+
+def r1_penalty(d_fn: Callable, real_img):
+    """R1 gradient penalty on real data (reference loss.py:222-237):
+    mean over batch of the squared L2 norm of d D(real)/d real.
+
+    d_fn: real_img -> per-sample prediction (any trailing shape)."""
+    grad = jax.grad(lambda img: jnp.sum(d_fn(img)))(real_img)
+    b = grad.shape[0]
+    return jnp.mean(jnp.sum(jnp.square(grad).reshape(b, -1), axis=1))
+
+
+def g_path_regularize(g_fn: Callable, latents, mean_path_length,
+                      noise=None, rng=None, decay: float = 0.01):
+    """StyleGAN2 path-length regularization (reference loss.py:239-251).
+
+    g_fn: latents (B, n_latent, D) -> fake image (B, H, W, C) or (B, C, H, W)
+    — the spatial size is read from axes (1, 2) torch-style when the array
+    is NCHW, (1, 2) for NHWC too (both use dims 2,3 in torch = H,W; we use
+    the product of the two middle axes, which is H*W either way).
+
+    Returns (path_penalty, mean(path_lengths), new_mean_path_length) — the
+    last is stop-gradiented, carry it as training state."""
+    fake, vjp = jax.vjp(g_fn, latents)
+    if noise is None:
+        hw = fake.shape[2] * fake.shape[3] if fake.ndim == 4 else fake.size
+        noise = jax.random.normal(rng, fake.shape, fake.dtype) / math.sqrt(hw)
+    grad = vjp(noise)[0]                                  # (B, n_latent, D)
+    path_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grad), axis=2),
+                                     axis=1))
+    path_mean = mean_path_length + decay * (jnp.mean(path_lengths)
+                                            - mean_path_length)
+    path_penalty = jnp.mean(jnp.square(path_lengths - path_mean))
+    return (path_penalty, jax.lax.stop_gradient(jnp.mean(path_lengths)),
+            jax.lax.stop_gradient(path_mean))
+
+
+def gradient_penalty_loss(d_fn: Callable, real_data, fake_data,
+                          alpha=None, rng=None, weight=None,
+                          channel_axis: int = -1):
+    """WGAN-GP gradient penalty (reference loss.py:254-290): the gradient
+    of D at a random interpolate must have unit L2 norm over the channel
+    axis. channel_axis=-1 for our NHWC tensors (the reference's dim=1 is
+    NCHW's channel)."""
+    b = real_data.shape[0]
+    if alpha is None:
+        alpha = jax.random.uniform(rng, (b,) + (1,) * (real_data.ndim - 1),
+                                   real_data.dtype)
+    interp = alpha * real_data + (1.0 - alpha) * fake_data
+    out, vjp = jax.vjp(d_fn, interp)
+    grads = vjp(jnp.ones_like(out))[0]
+    if weight is not None:
+        grads = grads * weight
+    norms = jnp.sqrt(jnp.sum(jnp.square(grads), axis=channel_axis) + 0.0)
+    gp = jnp.mean(jnp.square(norms - 1.0))
+    if weight is not None:
+        gp = gp / jnp.mean(weight)
+    return gp

@@ -94,12 +94,40 @@ def usrnet_fixture():
 
 
 
+def _stub_timm():
+    import collections.abc
+    import torch.nn as tnn
+
+    timm = types.ModuleType("timm")
+    layers = types.ModuleType("timm.layers")
+
+    class _DropPath(tnn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    layers.DropPath = _DropPath
+    layers.to_2tuple = lambda v: tuple(v) if isinstance(
+        v, collections.abc.Iterable) else (v, v)
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm.layers = layers
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.layers", layers)
+
+
 def swinir_fixtures():
-    """Random-init reference SwinIR at three head configs."""
+    """Random-init reference SwinIR at three head configs (+ ape)."""
+    _stub_timm()
     from models.network_swinir import SwinIR as TorchSwinIR
     rng = np.random.RandomState(5)
 
     cfgs = {
+        "swinir_ape": dict(upscale=1, img_size=16, window_size=8,
+                           img_range=1.0, depths=[2, 2], embed_dim=24,
+                           num_heads=[4, 4], mlp_ratio=2, upsampler="",
+                           in_chans=1, ape=True),
         "swinir_dn": dict(upscale=1, img_size=32, window_size=8, img_range=1.0,
                           depths=[2, 2], embed_dim=24, num_heads=[4, 4],
                           mlp_ratio=2, upsampler="", in_chans=1),
@@ -116,7 +144,9 @@ def swinir_fixtures():
         net = TorchSwinIR(**cfg)
         net.eval()
         # H=W=16 or 32, multiples of window 8
-        size = 32 if cfg["upscale"] == 1 else 16
+        # ape sizes the position embedding by img_size — input must match
+        size = cfg["img_size"] if cfg.get("ape") else (
+            32 if cfg["upscale"] == 1 else 16)
         x = rng.rand(1, cfg["in_chans"], size, size).astype(np.float32)
         with torch.no_grad():
             out = net(torch.from_numpy(x))

@@ -90,6 +90,9 @@ SWINIR_CASES = [
     ("swinir_dn", dict(upscale=1, in_chans=1, embed_dim=24, depths=(2, 2),
                        num_heads=(4, 4), window_size=8, mlp_ratio=2.0,
                        upsampler="")),
+    ("swinir_ape", dict(upscale=1, in_chans=1, embed_dim=24, depths=(2, 2),
+                        num_heads=(4, 4), window_size=8, mlp_ratio=2.0,
+                        upsampler="", ape=True, img_size=16)),
     ("swinir_light", dict(upscale=4, in_chans=3, embed_dim=24, depths=(2, 2),
                           num_heads=(4, 4), window_size=8, mlp_ratio=2.0,
                           upsampler="pixelshuffledirect")),

@@ -182,6 +182,7 @@ def test_fused_block_2d_gradients_match_standard():
                                    err_msg=str(pw))
 
 
+@pytest.mark.slow
 def test_fused_block_training_smoke():
     """A few optimizer steps through the fused path must reduce the loss."""
     from unittest import mock
