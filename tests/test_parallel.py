@@ -161,3 +161,16 @@ def test_tp_indivisible_dims_fall_back_to_replicated():
     specs = tp_state_shardings(mesh, params)
     assert "model" in str(specs["blk"]["qkv_kernel"].spec)
     assert str(specs["blk"]["fc1"]["kernel"].spec) == "PartitionSpec()"
+
+
+def test_first_slurm_hostname():
+    """Compressed SLURM nodelist syntax (the reference resolves via
+    scontrol, utils_dist.py:38-42; our fallback parser must agree)."""
+    from kair_tpu.parallel.launch import first_slurm_hostname
+
+    assert first_slurm_hostname("node01") == "node01"
+    assert first_slurm_hostname("node1,node2") == "node1"
+    assert first_slurm_hostname("node[01-04]") == "node01"
+    assert first_slurm_hostname("node[01-04,07],other[1-2]") == "node01"
+    assert first_slurm_hostname("gpu-a[003-008]-ib") == "gpu-a003-ib"
+    assert first_slurm_hostname("host[7]") == "host7"
