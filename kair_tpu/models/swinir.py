@@ -60,7 +60,7 @@ class SwinBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, phase_in: int = 0):
         b, h, w, c = x.shape
         ws, shift = self.window_size, self.shift_size
         if min(h, w) <= ws:
@@ -99,22 +99,33 @@ class SwinBlock(nn.Module):
             fc2b = self.param("fc2_bias", nn.initializers.zeros, (c,))
             flat = (qkv_kernel, qkv_b, proj_kernel, proj_b, ln1s, ln1b,
                     ln2s, ln2b, fc1k, fc1b, fc2k, fc2b)
+            nw = (h // ws) * (w // ws)
+            if n == 64 and h % 8 == 0 and w % 16 == 0 and not train:
+                # inference strip kernel with the cyclic shift FOLDED into
+                # the read (phase = shift - phase_in): no jnp.roll HBM
+                # round-trips; output stays in this block's phase and RSTB
+                # threads it (un-rolling once per residual group).
+                from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d
+                return swin_block_pallas_2d(x, qkv_kernel, qkv_b, proj_kernel,
+                                            proj_b, bias_table, rel_idx,
+                                            self.num_heads, ln1s, ln1b, ln2s,
+                                            ln2b, fc1k, fc1b, fc2k, fc2b, mask,
+                                            phase=shift - phase_in)
+            assert phase_in == 0, "phase threading requires the strip kernel"
             if shift > 0:
                 x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            nw = (h // ws) * (w // ws)
             if n == 64 and h % 8 == 0 and w % 16 == 0:
-                # strip kernel: differentiable (custom VJP, remat memory
-                # profile); window partition/reverse fold into the kernel's
-                # VMEM relayout — no XLA reshape round-trips through HBM.
-                # safe=train: training logits are unbounded, so the forward
-                # subtracts the row max (ADVICE r1); the verified inference
-                # path keeps the cheaper max-free softmax.
+                # training strip kernel: differentiable (custom VJP, remat
+                # memory profile); explicit rolls (phase=0). safe=True:
+                # training logits are unbounded, so the forward subtracts
+                # the row max (ADVICE r1); inference keeps the cheaper
+                # max-free softmax.
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d
                 x = swin_block_pallas_2d(x, qkv_kernel, qkv_b, proj_kernel,
                                          proj_b, bias_table, rel_idx,
                                          self.num_heads, ln1s, ln1b, ln2s,
                                          ln2b, fc1k, fc1b, fc2k, fc2b, mask,
-                                         safe=train)
+                                         safe=True)
             elif n == 64 and nw % 2 == 0 and not train:
                 # window-pair kernel (inference-only fallback, W % 16 != 0)
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas
@@ -199,13 +210,28 @@ class RSTB(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        ws = min(h, w) if min(h, w) <= self.window_size else self.window_size
+        # phase threading (inference strip kernel only): each block's output
+        # stays in that block's shift phase; one un-roll at group end
+        # replaces 2 jnp.roll HBM round-trips per shifted block
+        use_phase = (self.fuse_block and not train and ws == 8
+                     and h % 8 == 0 and w % 16 == 0)
         res = x
+        phase = 0
         for i in range(self.depth):
+            shift = 0 if i % 2 == 0 else self.window_size // 2
             res = SwinBlock(self.dim, self.num_heads, self.window_size,
-                            0 if i % 2 == 0 else self.window_size // 2,
-                            self.mlp_ratio, use_pallas=self.use_pallas,
+                            shift, self.mlp_ratio, use_pallas=self.use_pallas,
                             fuse_block=self.fuse_block,
-                            dtype=self.dtype, name=f"blk{i:02d}")(res, train=train)
+                            dtype=self.dtype, name=f"blk{i:02d}")(
+                res, train=train, phase_in=phase)
+            if use_phase:
+                # SwinBlock zeroes the shift when min(h,w) <= window_size —
+                # thread the same EFFECTIVE shift
+                phase = shift if min(h, w) > self.window_size else 0
+        if phase:
+            res = jnp.roll(res, (phase, phase), axis=(1, 2))
         if self.resi_connection == "1conv":
             res = Conv(self.dim, dtype=self.dtype, name="conv")(res)
         else:  # 3conv (network_swinir.py:469-473)

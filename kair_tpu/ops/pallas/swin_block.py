@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG, make_pair_bias,
-                                            pack_weights)
+                                            pack_weights, pack_weights_fused)
 
 
 def _erf(x):
@@ -48,13 +48,18 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+def _block_body(x0, wqkv_ref, bqkv_ref,
                 wp_ref, bp_ref, bias_ref,
                 ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                 fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                 *, num_heads: int, scale: float,
                 g_blk: int, bias_mode: str, safe: bool = False):
-    """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout."""
+    """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout.
+
+    qkv runs as ONE (T, C)@(C, nh*96) matmul (pack_weights_fused layout,
+    q pre-scaled): full MXU output-lane utilization vs 18 N=32 matmuls —
+    the measured dominant cost of the per-head layout on v5e. Per-head
+    q/k/v are 32-lane slices of the result in VMEM."""
     c = x0.shape[-1]
     dtype = x0.dtype
 
@@ -67,16 +72,14 @@ def _block_body(x0, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
 
     x = layernorm(x0, ln1s_ref, ln1b_ref)
 
+    qkv = (jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+           + bqkv_ref[:]).astype(dtype)                  # (T, nh*96)
+
     def head(h):
-        # weights ride in input dtype (bf16 at inference) so every matmul
-        # hits the MXU's fast path; accumulate f32, then drop q/k back to
-        # dtype for the scores matmul (f32 q/k would run at fp32 rate)
-        q = ((jnp.dot(x, wq_ref[h], preferred_element_type=jnp.float32)
-              + bq_ref[h]) * scale).astype(dtype)
-        k = (jnp.dot(x, wk_ref[h], preferred_element_type=jnp.float32)
-             + bk_ref[h]).astype(dtype)
-        v = (jnp.dot(x, wv_ref[h], preferred_element_type=jnp.float32)
-             + bv_ref[h]).astype(dtype)
+        base = h * 3 * _HD_PAD
+        q = qkv[:, base:base + _HD_PAD]
+        k = qkv[:, base + _HD_PAD:base + 2 * _HD_PAD]
+        v = qkv[:, base + 2 * _HD_PAD:base + 3 * _HD_PAD]
         outs = []
         for g in range(g_blk):
             qg = q[g * 128:(g + 1) * 128]
@@ -128,17 +131,34 @@ def _kernel(x_ref, *refs, num_heads: int, scale: float,
 
 
 def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
-               pairs_per_block: int, bias_mode: str, safe: bool = False):
+               pairs_per_block: int, bias_mode: str, safe: bool = False,
+               phase: int = 0):
     """Strip layout: x_ref (1, 8, W, C) — one window-row strip. The window
     partition/reverse is pure VMEM relayout here instead of XLA HBM
-    round-trips between blocks."""
+    round-trips between blocks.
+
+    phase != 0: the cyclic window shift is folded into the READ instead of
+    an XLA jnp.roll (each roll is a full-feature-map HBM round-trip — the
+    dominant cost of shifted blocks at the measured ~170 GB/s effective
+    stream bandwidth on v5e). The strip's 8 rows arrive as TWO half-strip
+    refs offset by `phase` rows in storage; the column shift is a free
+    VMEM rotation. Output is written in this block's own phase; the model
+    (RSTB) threads phase between blocks and un-rolls once per group."""
+    if phase != 0:
+        xa_ref, xb_ref = x_ref, refs[0]
+        refs = refs[1:]
+        x8 = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)   # (8, W, C)
+        d = phase % x8.shape[1]
+        x8 = jnp.concatenate([x8[:, d:, :], x8[:, :d, :]], axis=1)
+    else:
+        x8 = x_ref[0]
     out_ref = refs[-1]
     g_blk = pairs_per_block                # = W // 16 window pairs
-    c = x_ref.shape[-1]
-    w = x_ref.shape[2]
+    c = x8.shape[-1]
+    w = x8.shape[1]
     nwin = w // 8
     # (8 rows, W cols, C) → (win, row, col, C) → window-major tokens
-    x4 = x_ref[0].reshape(8, nwin, 8, c).transpose(1, 0, 2, 3)
+    x4 = x8.reshape(8, nwin, 8, c).transpose(1, 0, 2, 3)
     x0 = x4.reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
                     g_blk=g_blk, bias_mode=bias_mode, safe=safe)
@@ -550,6 +570,10 @@ def _fused_2d_bwd_pallas(meta, res, g):
 
 
 def _fused_2d_bwd(meta, res, g):
+    if len(meta) > 7 and meta[7] != 0:
+        raise NotImplementedError(
+            "phase-folded shift is inference-only; training routes through "
+            "the explicit-roll path (phase=0)")
     if PALLAS_BWD:
         return _fused_2d_bwd_pallas(meta, res, g)
     return _fused_2d_bwd_xla(meta, res, g)
@@ -561,14 +585,15 @@ _fused_2d.defvjp(_fused_2d_fwd, _fused_2d_bwd)
 def _fused_2d_fwd_impl(meta, x, params, pair_bias):
     num_heads, scale, g_blk, nr, bias_is_constant, interpret = meta[:6]
     safe = meta[6] if len(meta) > 6 else False
+    phase = meta[7] if len(meta) > 7 else 0
     (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
      ln1_scale, ln1_bias, ln2_scale, ln2_bias,
      fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) = params
     b, h, w, c = x.shape
 
-    wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
-                                              proj_kernel, num_heads)
-    wq, wk, wv, wp = (wt.astype(x.dtype) for wt in (wq, wk, wv, wp))
+    wqkv, bqkv, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
+                                        num_heads, scale)
+    wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 128, 128),
                                  lambda i: (0, 0, 0, 0),
@@ -583,23 +608,40 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
     grid = (b * nr,)
     kernel = functools.partial(
         _kernel_2d, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
-        bias_mode="const" if bias_is_constant else "strip2", safe=safe)
+        bias_mode="const" if bias_is_constant else "strip2", safe=safe,
+        phase=phase)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     strip_spec = pl.BlockSpec(
         (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
         memory_space=pltpu.VMEM)
+    if phase != 0:
+        # shift folded into the read: the strip's 8 rows are two 4-row
+        # half-strips at storage offset `phase`; with phase=±4 the halves
+        # are (2s+1, 2s+2) resp. (2s-1, 2s) mod 2nr
+        nhalf = 2 * nr
+        off_a, off_b = (1, 2) if phase > 0 else (-1, 0)
+        half = lambda off: pl.BlockSpec(
+            (1, 4, w, c),
+            lambda i, off=off: (i // nr,
+                                jax.lax.rem(2 * jax.lax.rem(i, nr) + off
+                                            + nhalf, nhalf), 0, 0),
+            memory_space=pltpu.VMEM)
+        x_specs = [half(off_a), half(off_b)]
+        x_args = [x, x]
+    else:
+        x_specs = [strip_spec]
+        x_args = [x]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[strip_spec,
-                  vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-                  vmem(), vmem(), bias_spec,
+        in_specs=x_specs +
+                 [vmem(), vmem(), vmem(), vmem(), bias_spec,
                   vmem(), vmem(), vmem(), vmem(),
                   vmem(), vmem(), vmem(), vmem()],
         out_specs=strip_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,
-    )(x, wq, wk, wv, bq, bk, bv, wp,
+    )(*x_args, wqkv, bqkv.astype(jnp.float32), wp,
       proj_bias.astype(jnp.float32),
       # constant bias is tiny — keep it f32-resident (no per-use cast);
       # the 2-pattern shifted bias stays bf16 (f32 would be 6.3 MB of VMEM)
@@ -615,7 +657,7 @@ def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
                          ln1_scale, ln1_bias, ln2_scale, ln2_bias,
                          fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
                          mask=None, interpret: bool = False,
-                         safe: bool = False):
+                         safe: bool = False, phase: int = 0):
     """Fused block directly on the (B, H, W, C) feature map: one program per
     8-row window strip; window partition/reverse happen as VMEM relayouts
     inside the kernel instead of XLA reshapes through HBM (the dominant
@@ -648,7 +690,8 @@ def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     params = (qkv_kernel, qkv_bias, proj_kernel, proj_bias,
               ln1_scale, ln1_bias, ln2_scale, ln2_bias,
               fc1_kernel, fc1_bias, fc2_kernel, fc2_bias)
-    meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret, safe)
+    meta = (num_heads, scale, g_blk, nr, bias_is_constant, interpret, safe,
+            phase)
     return _fused_2d(meta, x, params, pair_bias)
 
 
@@ -669,11 +712,11 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
             g_blk = cand
             break
 
-    wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
-                                              proj_kernel, num_heads)
+    wqkv, bqkv, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
+                                        num_heads, scale)
     # matmul operands in the input dtype (bf16 inference → full MXU rate;
     # f32 tests stay exact); biases/LN stay f32 — they're VPU adds
-    wq, wk, wv, wp = (w.astype(xw.dtype) for w in (wq, wk, wv, wp))
+    wqkv, wp = wqkv.astype(xw.dtype), wp.astype(xw.dtype)
     pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
                                n_pairs).astype(jnp.bfloat16)
     bias_is_constant = mask is None
@@ -701,15 +744,14 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
         grid=grid,
         in_specs=[pl.BlockSpec((g_blk, 2 * n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-                  vmem(), vmem(), bias_spec,
+                  vmem(), vmem(), vmem(), vmem(), bias_spec,
                   vmem(), vmem(), vmem(), vmem(),
                   vmem(), vmem(), vmem(), vmem()],
         out_specs=pl.BlockSpec((g_blk, 2 * n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * n_pairs, 2 * n, c), xw.dtype),
         interpret=interpret,
-    )(x_pairs, wq, wk, wv, bq, bk, bv, wp,
+    )(x_pairs, wqkv, bqkv.astype(jnp.float32), wp,
       proj_bias.astype(jnp.float32), pair_bias,
       ln1_scale.astype(jnp.float32), ln1_bias.astype(jnp.float32),
       ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),

@@ -84,6 +84,44 @@ def _blockdiag_neg(n: int = 64) -> np.ndarray:
     return m
 
 
+def pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel, num_heads: int,
+                       scale: float):
+    """Host-side relayout for the ONE-matmul qkv path: (C, 3C) →
+    wqkv (C, nh*3*32) with per-head [q|k|v] 32-lane blocks, and
+    bqkv (nh*96,). The attention scale is folded into the q columns
+    (weights AND bias), removing a VPU pass in the kernel.
+
+    One (T,C)@(C,576) matmul fills MXU lanes; the old per-head layout
+    issued 18 matmuls with N=32 (25% output-lane utilization) — the
+    dominant cost of the fused block measured on v5e."""
+    c = qkv_kernel.shape[0]
+    hd = c // num_heads
+    wq, wk, wv = jnp.split(qkv_kernel, 3, axis=1)
+    if qkv_bias is None:
+        qkv_bias = jnp.zeros((3 * c,), qkv_kernel.dtype)
+    bq, bk, bv = jnp.split(qkv_bias, 3)
+
+    def heads_w(w):                           # (C, C) -> (nh, C, 32)
+        w = w.reshape(c, num_heads, hd).transpose(1, 0, 2)
+        return jnp.pad(w, ((0, 0), (0, 0), (0, _HD_PAD - hd)))
+
+    def heads_b(b):                           # (C,) -> (nh, 32)
+        return jnp.pad(b.reshape(num_heads, hd),
+                       ((0, 0), (0, _HD_PAD - hd)))
+
+    wq3, wk3, wv3 = heads_w(wq) * scale, heads_w(wk), heads_w(wv)
+    bq2, bk2, bv2 = heads_b(bq) * scale, heads_b(bk), heads_b(bv)
+    # interleave per head: [q_h | k_h | v_h] blocks of 32 lanes
+    wqkv = jnp.stack([wq3, wk3, wv3], axis=1)       # (nh, 3, C, 32)
+    wqkv = wqkv.transpose(2, 0, 1, 3).reshape(c, num_heads * 3 * _HD_PAD)
+    bqkv = jnp.stack([bq2, bk2, bv2], axis=1).reshape(-1)
+
+    wp = proj_kernel.reshape(num_heads, hd, c)
+    wp = jnp.pad(wp, ((0, 0), (0, _HD_PAD - hd), (0, 0)))
+    wp = wp.reshape(num_heads * _HD_PAD, c)
+    return wqkv, bqkv, wp
+
+
 def pack_weights(qkv_kernel, qkv_bias, proj_kernel, num_heads: int):
     """Host-side relayout: (C,3C) qkv → per-head padded (nh,C,32) blocks and
     (nh*32, C) projection with zero pad rows."""
