@@ -37,6 +37,16 @@ def make_mesh(data: Optional[int] = None, tile: int = 1, model: int = 1,
     return Mesh(arr, ("data", "model", "tile"))
 
 
+def make_grid_mesh(tileh: int, tilew: int, devices=None) -> Mesh:
+    """2-D spatial tile-grid mesh for kair_tpu.parallel.tiled.
+    make_grid_sharded_fn: axes ('tileh', 'tilew')."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert tileh * tilew == len(devices), \
+        f"grid {tileh}x{tilew} != {len(devices)} devices"
+    arr = np.asarray(devices).reshape(tileh, tilew)
+    return Mesh(arr, ("tileh", "tilew"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim sharded over 'data' (per-device batch = global/num_devices,
     the reference's per-rank split, main_train_psnr.py:126-130)."""
