@@ -177,8 +177,81 @@ class RVRT(nn.Module):
     remat: bool = False
     dtype: Optional[Any] = None
 
+    # ---- shared submodule builders (identical names/args for the full
+    # forward and the streamed per-stage path, eval/rvrt_stream.py) --------
+    def _feat_extract(self):
+        return RSTBWithInputConv(
+            self.embed_dims[0], self.depths[0], self.num_heads[0],
+            (1, self.window_size[1], self.window_size[2]),
+            num_blocks=self.num_blocks[0], groups=self.inputconv_groups[0],
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            remat=self.remat, dtype=self.dtype, name="feat_extract")
+
+    def _deform(self, module: str):
+        return GuidedDeformAttnPack(
+            self.embed_dims[1], self.attention_window,
+            self.attention_heads, self.deformable_groups, self.clip_size,
+            self.max_residue_magnitude, dtype=self.dtype,
+            name=f"deform_{module}")
+
+    def _backbone(self, module: str):
+        bi = ["backward_1", "forward_1", "backward_2", "forward_2"].index(module)
+        return RSTBWithInputConv(
+            self.embed_dims[1], self.depths[1], self.num_heads[1],
+            self.window_size, num_blocks=self.num_blocks[1],
+            groups=self.inputconv_groups[bi + 1],
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            remat=self.remat, dtype=self.dtype, name=f"backbone_{module}")
+
+    def _reconstruct(self, cat, lqs):
+        """cat (B,D,H,W,5C) branch concat → HR (B,D,4H,4W,3) incl. the
+        bilinear-upsampled input residual (reference :1073-1105)."""
+        hr = RSTBWithInputConv(
+            self.embed_dims[2], self.depths[2], self.num_heads[2],
+            (1, self.window_size[1], self.window_size[2]),
+            num_blocks=self.num_blocks[2], groups=self.inputconv_groups[5],
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            remat=self.remat, dtype=self.dtype, name="reconstruction")(cat)
+        cbu = Conv(64, 1, padding=0, dtype=self.dtype, name="conv_before_upsampler")
+        hr = _conv2d_frames(hr, lambda a: nn.leaky_relu(cbu(a), 0.1))
+        for i in range(2):
+            up = Conv(256, 3, dtype=self.dtype, name=f"upsampler{i}")
+            hr = _conv2d_frames(hr, lambda a, up=up: nn.leaky_relu(
+                pixel_shuffle(up(a), 2), 0.1))
+        upt = Conv(64, 3, dtype=self.dtype, name="upsampler_tail")
+        hr = _conv2d_frames(hr, upt)
+        last = Conv(3, 3, dtype=self.dtype, name="conv_last")
+        hr = _conv2d_frames(hr, last)
+        base = jax.vmap(lambda f: resize_bilinear(
+            f, (hr.shape[2], hr.shape[3])), in_axes=1, out_axes=1)(lqs[..., :3])
+        return hr + base
+
+    def _run_stage(self, stage: str, kw: dict):
+        """Per-stage entry for chunked/streamed long-video eval
+        (eval/rvrt_stream.py) — the TPU analog of the reference's CPU
+        feature cache (network_rvrt.py:1115-1155). Same submodule names →
+        same param tree as the full forward."""
+        if stage == "shallow":
+            assert self.upscale == 4, "streamed eval: SR head only"
+            return self._feat_extract()(kw["clip"])
+        if stage == "flow":
+            spynet = SpyNet(return_levels=(5,), dtype=self.dtype, name="spynet")
+            return spynet(kw["l1"], kw["l2"])
+        if stage == "deform":
+            return self._deform(kw["module"])(
+                kw["q"], kw["k"], kw["v"], kw["warped"], kw["flows"],
+                kw["update"])
+        if stage == "backbone":
+            return self._backbone(kw["module"])(kw["cat"])
+        if stage == "recon":
+            return self._reconstruct(kw["cat"], kw["lq"])
+        raise ValueError(f"unknown stage {stage}")
+
     @nn.compact
-    def __call__(self, lqs, train: bool = False):
+    def __call__(self, lqs=None, train: bool = False,
+                 stage: Optional[str] = None, **kw):
+        if stage is not None:
+            return self._run_stage(stage, kw)
         n, t, h, w, _ = lqs.shape
         assert t % self.clip_size == 0, "frame count must divide clip_size"
 
@@ -186,12 +259,7 @@ class RVRT(nn.Module):
 
         if self.upscale == 4:
             lqs_ds = lqs
-            feat_shallow = RSTBWithInputConv(
-                self.embed_dims[0], self.depths[0], self.num_heads[0],
-                (1, self.window_size[1], self.window_size[2]),
-                num_blocks=self.num_blocks[0], groups=self.inputconv_groups[0],
-                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                remat=self.remat, dtype=self.dtype, name="feat_extract")(lqs)
+            feat_shallow = self._feat_extract()(lqs)
         else:
             # deblur/denoise: 4x strided conv head (reference :826-840)
             c0 = Conv(self.embed_dims[0], 3, 2, 1, dtype=self.dtype, name="down0")
@@ -220,47 +288,18 @@ class RVRT(nn.Module):
 
         updated_flows: dict = {}
         order = ["backward_1", "forward_1", "backward_2", "forward_2"]
-        for bi, module in enumerate(order):
+        for module in order:
             flows = flows_backward if "backward" in module else flows_forward
-            deform = GuidedDeformAttnPack(
-                self.embed_dims[1], self.attention_window,
-                self.attention_heads, self.deformable_groups, self.clip_size,
-                self.max_residue_magnitude, dtype=self.dtype,
-                name=f"deform_{module}")
-            backbone = RSTBWithInputConv(
-                self.embed_dims[1], self.depths[1], self.num_heads[1],
-                self.window_size, num_blocks=self.num_blocks[1],
-                groups=self.inputconv_groups[bi + 1],
-                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                remat=self.remat, dtype=self.dtype, name=f"backbone_{module}")
-            feats = self._propagate(feats, flows, module, deform, backbone,
-                                    updated_flows)
+            feats = self._propagate(feats, flows, module,
+                                    self._deform(module),
+                                    self._backbone(module), updated_flows)
 
         # reconstruction (reference upsample :1073-1105)
         cat = jnp.concatenate(
             [jnp.concatenate(feats[k], axis=1) for k in
              ["shallow", "backward_1", "forward_1", "backward_2", "forward_2"]],
             axis=-1)
-        hr = RSTBWithInputConv(
-            self.embed_dims[2], self.depths[2], self.num_heads[2],
-            (1, self.window_size[1], self.window_size[2]),
-            num_blocks=self.num_blocks[2], groups=self.inputconv_groups[5],
-            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-            remat=self.remat, dtype=self.dtype, name="reconstruction")(cat)
-        cbu = Conv(64, 1, padding=0, dtype=self.dtype, name="conv_before_upsampler")
-        hr = _conv2d_frames(hr, lambda a: nn.leaky_relu(cbu(a), 0.1))
-        for i in range(2):
-            up = Conv(256, 3, dtype=self.dtype, name=f"upsampler{i}")
-            hr = _conv2d_frames(hr, lambda a, up=up: nn.leaky_relu(
-                pixel_shuffle(up(a), 2), 0.1))
-        upt = Conv(64, 3, dtype=self.dtype, name="upsampler_tail")
-        hr = _conv2d_frames(hr, upt)
-        last = Conv(3, 3, dtype=self.dtype, name="conv_last")
-        hr = _conv2d_frames(hr, last)
-
-        base = jax.vmap(lambda f: resize_bilinear(
-            f, (hr.shape[2], hr.shape[3])), in_axes=1, out_axes=1)(lqs[..., :3])
-        return hr + base
+        return self._reconstruct(cat, lqs)
 
     # ------------------------------------------------------------------
     def _propagate(self, feats, flows, module_name, deform, backbone,

@@ -343,3 +343,47 @@ def test_video_dataset_registry_routes_new_types(video_root):
         "dataset_type": "SingleVideoRecurrentTestDataset",
         "dataroot_lq": str(video_root / "LQ")})
     assert len(ds2) == 2
+
+
+def _tiny_rvrt():
+    from kair_tpu.models.rvrt import RVRT
+
+    return RVRT(upscale=4, clip_size=2, window_size=(2, 4, 4),
+                num_blocks=(1, 1, 1), depths=(1, 1, 1),
+                embed_dims=(16, 16, 16), num_heads=(2, 2, 2),
+                inputconv_groups=(1, 1, 1, 1, 1, 1),
+                deformable_groups=2, attention_heads=2,
+                attention_window=(3, 3))
+
+
+def test_rvrt_streamed_matches_full():
+    """Chunked long-video path (host feature cache, O(clip) device
+    residency) == monolithic forward (reference cpu_cache semantics,
+    network_rvrt.py:1115-1155)."""
+    import jax
+    from kair_tpu.eval.rvrt_stream import rvrt_forward_streamed
+
+    model = _tiny_rvrt()
+    rng = np.random.RandomState(0)
+    lqs = rng.rand(1, 4, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), lqs[:, :4])
+    want = np.asarray(model.apply(variables, lqs))
+    got = rvrt_forward_streamed(model, variables, lqs)
+    assert got.shape == want.shape == (1, 4, 256, 256, 3)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_rvrt_streamed_long_sequence():
+    """30+ frames through the chunked path — the regime the reference's
+    CPU cache exists for — still matches the monolithic forward."""
+    import jax
+    from kair_tpu.eval.rvrt_stream import rvrt_forward_streamed
+
+    model = _tiny_rvrt()
+    rng = np.random.RandomState(1)
+    lqs = rng.rand(1, 32, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), lqs[:, :4])
+    want = np.asarray(model.apply(variables, lqs))
+    got = rvrt_forward_streamed(model, variables, lqs)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
