@@ -457,8 +457,26 @@ def _vrt_tmsa_block(sd, p, mut_attn):
     return blk
 
 
-def _vrt_tmsag(sd, p, depth, mut_attn):
-    return {f"blk{j:02d}": _vrt_tmsa_block(sd, f"{p}.blocks.{j}", mut_attn)
+def _stack_trees(trees):
+    """[{...}, {...}] → one tree with leaves stacked on a new leading axis
+    (the nn.scan parameter layout)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *ls: np.stack(ls), *trees)
+
+
+def _vrt_tmsag(sd, p, depth, mut_attn, block_fn=None):
+    """Even depths map onto the scanned TMSAPair layout
+    (pairs/{a,b} with leaves stacked over depth//2); odd depths keep the
+    per-block blk{j} layout — mirrors models/vrt.py TMSAG."""
+    block_fn = block_fn or _vrt_tmsa_block
+    if depth % 2 == 0 and depth > 0:
+        a = [block_fn(sd, f"{p}.blocks.{2 * i}", mut_attn)
+             for i in range(depth // 2)]
+        b = [block_fn(sd, f"{p}.blocks.{2 * i + 1}", mut_attn)
+             for i in range(depth // 2)]
+        return {"pairs": {"a": _stack_trees(a), "b": _stack_trees(b)}}
+    return {f"blk{j:02d}": block_fn(sd, f"{p}.blocks.{j}", mut_attn)
             for j in range(depth)}
 
 
@@ -571,8 +589,8 @@ def _rvrt_input_conv(sd, prefix, num_blocks, depth):
     for i in range(num_blocks):
         p = f"{prefix}.main.5.{i}"
         out[f"rstb{i:02d}"] = {
-            "group": {f"blk{j:02d}": _rvrt_stl_block(
-                sd, f"{p}.residual_group.blocks.{j}") for j in range(depth)},
+            "group": _vrt_tmsag(sd, f"{p}.residual_group", depth, False,
+                                block_fn=lambda s, q, _m: _rvrt_stl_block(s, q)),
             "linear": _dense(sd, f"{p}.linear"),
         }
     return out

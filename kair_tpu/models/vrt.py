@@ -292,8 +292,37 @@ class TMSA(nn.Module):
         return x + y
 
 
+class TMSAPair(nn.Module):
+    """One unshifted + one shifted TMSA — the scan period of TMSAG."""
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    shift_size: Tuple[int, int, int]
+    mut_attn: bool
+    mlp_ratio: float
+    qkv_bias: bool
+    geglu: bool
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        x = TMSA(self.dim, self.num_heads, self.window_size, (0, 0, 0),
+                 self.mut_attn, self.mlp_ratio, self.qkv_bias,
+                 geglu=self.geglu, dtype=self.dtype, name="a")(x)
+        x = TMSA(self.dim, self.num_heads, self.window_size, self.shift_size,
+                 self.mut_attn, self.mlp_ratio, self.qkv_bias,
+                 geglu=self.geglu, dtype=self.dtype, name="b")(x)
+        return x, None
+
+
 class TMSAG(nn.Module):
-    """Group of TMSA blocks alternating no-shift / shift (reference :855-948)."""
+    """Group of TMSA blocks alternating no-shift / shift (reference :855-948).
+
+    Even depths run as nn.scan over TMSAPair (params stacked on a leading
+    depth//2 axis): the block body is traced/compiled ONCE instead of
+    `depth` times — the full 13-stage VRT's unrolled HLO is otherwise too
+    large to compile (and slow everywhere). Odd depths fall back to the
+    python loop with per-block params (blk00, blk01, ...)."""
     dim: int
     depth: int
     num_heads: int
@@ -310,6 +339,15 @@ class TMSAG(nn.Module):
     def __call__(self, x):
         ss = tuple(i // 2 for i in self.window_size) \
             if self.shift_size is None else self.shift_size
+        if self.depth % 2 == 0 and self.depth > 0:
+            inner = nn.remat(TMSAPair) if self.remat else TMSAPair
+            scan = nn.scan(inner, variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           length=self.depth // 2)
+            x, _ = scan(self.dim, self.num_heads, self.window_size, ss,
+                        self.mut_attn, self.mlp_ratio, self.qkv_bias,
+                        self.geglu, dtype=self.dtype, name="pairs")(x, None)
+            return x
         for i in range(self.depth):
             blk = TMSA(self.dim, self.num_heads, self.window_size,
                        (0, 0, 0) if i % 2 == 0 else ss, self.mut_attn,
