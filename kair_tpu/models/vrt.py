@@ -78,6 +78,98 @@ def compute_mask_3d(D, H, W, window_size, shift_size) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
+def compute_mask_3d_compact(D, H, W, window_size, shift_size):
+    """(patterns (8, N, N), window index (nW,)) — the same masks as
+    compute_mask_3d but factored: only boundary windows along each shifted
+    axis carry a distinct pattern, so 8 corner samples cover every window.
+    Embedding the per-window mask as a trace-time constant costs multiple
+    MBs of HLO per block (the full 13-stage VRT became uncompilable); the
+    compact form is <0.6 MB total with an in-graph gather."""
+    full = compute_mask_3d(D, H, W, window_size, shift_size)
+    nd = D // window_size[0]
+    nh = H // window_size[1]
+    nw = W // window_size[2]
+    n = full.shape[-1]
+    grid = full.reshape(nd, nh, nw, n, n)
+    pats = np.zeros((8, n, n), np.float32)
+    for ild in (0, 1):
+        for ilh in (0, 1):
+            for ilw in (0, 1):
+                pats[4 * ild + 2 * ilh + ilw] = grid[
+                    (nd - 1) if ild else 0,
+                    (nh - 1) if ilh else 0,
+                    (nw - 1) if ilw else 0]
+    di = (np.arange(nd) == nd - 1).astype(np.int32) * 4
+    hi = (np.arange(nh) == nh - 1).astype(np.int32) * 2
+    wi = (np.arange(nw) == nw - 1).astype(np.int32)
+    idx = (di[:, None, None] + hi[None, :, None]
+           + wi[None, None, :]).reshape(-1)
+    # the factorization assumes interior windows share the zero pattern —
+    # verify once per geometry (cached)
+    assert np.array_equal(pats[idx], grid.reshape(-1, n, n)), \
+        "mask factorization mismatch"
+    return pats, idx
+
+
+@functools.lru_cache(maxsize=64)
+def compute_mask_labels_3d(D, H, W, window_size, shift_size):
+    """(labels (8, N) int32, window index (nW,)) — the factored form of
+    compute_mask_3d: per-token REGION LABELS for the 8 boundary-corner
+    patterns; the (N, N) mask is `where(label_i != label_j, -100, 0)`
+    computed in-graph. Keeps the trace-time constant at kilobytes (the
+    (8, N, N) f32 pattern stack alone was ~95 MB of VRT's HLO)."""
+    img_mask = np.zeros((D, H, W), np.int32)
+    cnt = 0
+    for d in (slice(-window_size[0]), slice(-window_size[0], -shift_size[0] or None),
+              slice(-shift_size[0] or None, None)):
+        for h in (slice(-window_size[1]), slice(-window_size[1], -shift_size[1] or None),
+                  slice(-shift_size[1] or None, None)):
+            for w in (slice(-window_size[2]), slice(-window_size[2], -shift_size[2] or None),
+                      slice(-shift_size[2] or None, None)):
+                img_mask[d, h, w] = cnt
+                cnt += 1
+    wd, wh, ww = window_size
+    nd, nh, nw = D // wd, H // wh, W // ww
+    m = img_mask.reshape(nd, wd, nh, wh, nw, ww)
+    m = m.transpose(0, 2, 4, 1, 3, 5).reshape(nd, nh, nw, wd * wh * ww)
+    labels = np.zeros((8, wd * wh * ww), np.int32)
+    for ild in (0, 1):
+        for ilh in (0, 1):
+            for ilw in (0, 1):
+                labels[4 * ild + 2 * ilh + ilw] = m[
+                    (nd - 1) if ild else 0,
+                    (nh - 1) if ilh else 0,
+                    (nw - 1) if ilw else 0]
+    di = (np.arange(nd) == nd - 1).astype(np.int32) * 4
+    hi = (np.arange(nh) == nh - 1).astype(np.int32) * 2
+    wi = (np.arange(nw) == nw - 1).astype(np.int32)
+    idx = (di[:, None, None] + hi[None, :, None]
+           + wi[None, None, :]).reshape(-1)
+    assert np.array_equal(labels[idx], m.reshape(-1, m.shape[-1])), \
+        "mask label factorization mismatch"
+    return labels, idx
+
+
+@functools.lru_cache(maxsize=64)
+def rel_position_coords_3d(wd, wh, ww) -> np.ndarray:
+    """(3, N) token coordinates — the tiny constant from which the (N, N)
+    relative-position index is computed IN-GRAPH (the materialized index
+    was ~26 MB of VRT's HLO as an inline literal)."""
+    coords = np.stack(np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww),
+                                  indexing="ij"))
+    return coords.reshape(3, -1).astype(np.int32)
+
+
+def rel_position_index_3d_graph(wd, wh, ww, n):
+    """In-graph (n, n) index into the 3-D bias table."""
+    c = jnp.asarray(rel_position_coords_3d(wd, wh, ww)[:, :n])
+    rel = c[:, :, None] - c[:, None, :]
+    return ((rel[0] + wd - 1) * (2 * wh - 1) * (2 * ww - 1)
+            + (rel[1] + wh - 1) * (2 * ww - 1)
+            + (rel[2] + ww - 1))
+
+
+@functools.lru_cache(maxsize=64)
 def rel_position_index_3d(wd, wh, ww) -> np.ndarray:
     """(N, N) index into the (2wd-1)(2wh-1)(2ww-1) bias table
     (reference get_position_index, :688-706)."""
@@ -186,9 +278,9 @@ class WindowAttention3D(nn.Module):
         bias_table = self.param("rel_bias_table", nn.initializers.normal(0.02),
                                 ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1),
                                  nh))
-        rel_idx = rel_position_index_3d(*ws)[:n, :n]
-        # keep the index numpy: converted checkpoints hold numpy params, and
-        # numpy fancy-indexing by a traced index breaks under jit
+        # index computed IN-GRAPH from (3, N) coords: a materialized
+        # (N, N) index literal costs ~0.6 MB of HLO per block
+        rel_idx = rel_position_index_3d_graph(*ws, n)
         rel_bias = jnp.asarray(bias_table)[rel_idx.reshape(-1)]
         rel_bias = rel_bias.reshape(n, n, nh).transpose(2, 0, 1)
 
@@ -267,7 +359,13 @@ class TMSA(nn.Module):
 
         if any(s > 0 for s in ss):
             y = jnp.roll(y, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
-            mask = jnp.asarray(compute_mask_3d(dp, hp, wp, ws, ss))
+            # compact masks: 8 per-token label rows + in-graph compare and
+            # gather — NOT the (nW, N, N) trace-time literal, which costs
+            # MBs of HLO per block and made the 13-stage VRT uncompilable
+            labels, widx = compute_mask_labels_3d(dp, hp, wp, ws, ss)
+            lab = jnp.asarray(labels)
+            pats = jnp.where(lab[:, None, :] != lab[:, :, None], -100.0, 0.0)
+            mask = pats[jnp.asarray(widx)]
         else:
             mask = None
 

@@ -1,0 +1,54 @@
+"""Fused TMSA Pallas kernel vs the XLA TMSA module (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kair_tpu.models.vrt import (TMSA, compute_mask_3d,
+                                 rel_position_index_3d,
+                                 sine_position_encoding)
+from kair_tpu.ops.pallas.tmsa_block import (make_tmsa_biases,
+                                            tmsa_block_pallas,
+                                            tmsa_flat_params,
+                                            tmsa_mask_patterns)
+
+C, NH = 24, 4
+WS = (2, 8, 8)
+
+
+def _setup(shift):
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(1, 4, 16, 16, C) * 0.5, jnp.float32)
+    model = TMSA(C, NH, WS, shift, mut_attn=True, geglu=True)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(variables, x))
+    flat = tmsa_flat_params(variables["params"])
+    pos = sine_position_encoding(8, 8, C // 2)
+    pos2 = jnp.concatenate([jnp.asarray(pos)] * 2, axis=0)
+    rel_idx = rel_position_index_3d(*WS)[:128, :128]
+    return x, variables, want, flat, pos2, rel_idx
+
+
+def test_tmsa_fused_unshifted_matches():
+    x, variables, want, flat, pos2, rel_idx = _setup((0, 0, 0))
+    bt = variables["params"]["attn"]["rel_bias_table"]
+    bias_self, bias_mut = make_tmsa_biases(bt, rel_idx, NH, None)
+    got = np.asarray(tmsa_block_pallas(x, flat, pos2, NH, bias_self,
+                                       bias_mut, shifted=False,
+                                       interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_tmsa_fused_shifted_matches():
+    ss = (1, 4, 4)
+    x, variables, want, flat, pos2, rel_idx = _setup(ss)
+    bt = variables["params"]["attn"]["rel_bias_table"]
+    pats = tmsa_mask_patterns(4, 16, 16, WS, ss)
+    bias_self, bias_mut = make_tmsa_biases(bt, rel_idx, NH, pats)
+    xr = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+    got = tmsa_block_pallas(xr, flat, pos2, NH, bias_self, bias_mut,
+                            shifted=True, interpret=True)
+    got = np.asarray(jnp.roll(got, (ss[0], ss[1], ss[2]), axis=(1, 2, 3)))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
