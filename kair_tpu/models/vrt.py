@@ -341,12 +341,18 @@ class TMSA(nn.Module):
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     geglu: bool = True
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         b, d, h, w, c = x.shape
         ws, ss = get_window_size((d, h, w), self.window_size, self.shift_size)
+
+        if (self.fuse_block and self.mut_attn and self.geglu
+                and tuple(ws) == (2, 8, 8) and d % 2 == 0
+                and h % 8 == 0 and w % 8 == 0):
+            return self._fused(x, ws, ss)
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -389,6 +395,47 @@ class TMSA(nn.Module):
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(_gelu(y))
         return x + y
 
+    def _fused(self, x, ws, ss):
+        """Fused Pallas block (ops/pallas/tmsa_block.py): the SAME
+        submodules declare the params (outputs are dead code), so the param
+        tree is identical to the standard path regardless of geometry."""
+        import numpy as np
+        from kair_tpu.ops.pallas.tmsa_block import (make_tmsa_biases,
+                                                    tmsa_block_pallas,
+                                                    tmsa_flat_params,
+                                                    tmsa_mask_patterns)
+        b, d, h, w, c = x.shape
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        _ = norm1(jnp.zeros((1, c), x.dtype))
+        attn = WindowAttention3D(self.dim, ws, self.num_heads, self.qkv_bias,
+                                 True, dtype=self.dtype, name="attn")
+        _ = attn(jnp.zeros((1, 1, 128, c), x.dtype))
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        _ = norm2(jnp.zeros((1, c), x.dtype))
+        mlp = GEGLU(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")
+        _ = mlp(jnp.zeros((1, c), x.dtype))
+        p = {"norm1": norm1.variables["params"],
+             "attn": attn.variables["params"],
+             "norm2": norm2.variables["params"],
+             "mlp": mlp.variables["params"]}
+        flat = tmsa_flat_params(p)
+        pos = sine_position_encoding(ws[1], ws[2], c // 2)
+        pos2 = jnp.asarray(np.concatenate([pos, pos], axis=0))
+        rel_idx = rel_position_index_3d(*ws)[:128, :128]
+        shifted = any(s > 0 for s in ss)
+        if shifted:
+            pats = tmsa_mask_patterns(d, h, w, ws, ss)
+            x_in = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+        else:
+            pats, x_in = None, x
+        bias_self, bias_mut = make_tmsa_biases(
+            p["attn"]["rel_bias_table"], rel_idx, self.num_heads, pats)
+        y = tmsa_block_pallas(x_in, flat, pos2, self.num_heads,
+                              bias_self, bias_mut, shifted)
+        if shifted:
+            y = jnp.roll(y, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        return y
+
 
 class TMSAPair(nn.Module):
     """One unshifted + one shifted TMSA — the scan period of TMSAG."""
@@ -400,16 +447,19 @@ class TMSAPair(nn.Module):
     mlp_ratio: float
     qkv_bias: bool
     geglu: bool
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, _=None):
         x = TMSA(self.dim, self.num_heads, self.window_size, (0, 0, 0),
                  self.mut_attn, self.mlp_ratio, self.qkv_bias,
-                 geglu=self.geglu, dtype=self.dtype, name="a")(x)
+                 geglu=self.geglu, fuse_block=self.fuse_block,
+                 dtype=self.dtype, name="a")(x)
         x = TMSA(self.dim, self.num_heads, self.window_size, self.shift_size,
                  self.mut_attn, self.mlp_ratio, self.qkv_bias,
-                 geglu=self.geglu, dtype=self.dtype, name="b")(x)
+                 geglu=self.geglu, fuse_block=self.fuse_block,
+                 dtype=self.dtype, name="b")(x)
         return x, None
 
 
@@ -430,6 +480,7 @@ class TMSAG(nn.Module):
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     geglu: bool = True
+    fuse_block: bool = False
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -444,13 +495,14 @@ class TMSAG(nn.Module):
                            length=self.depth // 2)
             x, _ = scan(self.dim, self.num_heads, self.window_size, ss,
                         self.mut_attn, self.mlp_ratio, self.qkv_bias,
-                        self.geglu, dtype=self.dtype, name="pairs")(x, None)
+                        self.geglu, self.fuse_block, dtype=self.dtype,
+                        name="pairs")(x, None)
             return x
         for i in range(self.depth):
             blk = TMSA(self.dim, self.num_heads, self.window_size,
                        (0, 0, 0) if i % 2 == 0 else ss, self.mut_attn,
                        self.mlp_ratio, self.qkv_bias, geglu=self.geglu,
-                       dtype=self.dtype,
+                       fuse_block=self.fuse_block, dtype=self.dtype,
                        name=f"blk{i:02d}")
             x = nn.remat(lambda m, v: m(v))(blk, x) if self.remat else blk(x)
         return x
@@ -536,6 +588,7 @@ class Stage(nn.Module):
     deformable_groups: int = 16
     reshape: str = "none"
     max_residue_magnitude: float = 10.0
+    fuse_block: bool = False
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -564,7 +617,8 @@ class Stage(nn.Module):
         y = TMSAG(self.dim, depth1, self.num_heads,
                   (2, self.window_size[1], self.window_size[2]),
                   mut_attn=True, mlp_ratio=self.mlp_ratio,
-                  qkv_bias=self.qkv_bias, remat=self.remat, dtype=self.dtype,
+                  qkv_bias=self.qkv_bias, fuse_block=self.fuse_block,
+                  remat=self.remat, dtype=self.dtype,
                   name="group1")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear1")(y) + x
         y = TMSAG(self.dim, self.depth - depth1, self.num_heads,
@@ -720,6 +774,7 @@ class VRT(nn.Module):
     # stage-8 blocks using per-frame (1,h,w) windows; None = last two
     # (reference :1270 indep_reconsts=[11,12]; [] for frame interpolation)
     indep_reconsts: Optional[Tuple[int, ...]] = None
+    fuse_block: bool = False
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -812,6 +867,7 @@ class VRT(nn.Module):
                           mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                           pa_frames=self.pa_frames,
                           deformable_groups=self.deformable_groups,
+                          fuse_block=self.fuse_block,
                           remat=self.remat, dtype=self.dtype)
         scales = [1, 2, 4, 8, 4, 2, 1]
 

@@ -52,3 +52,29 @@ def test_tmsa_fused_shifted_matches():
                             shifted=True, interpret=True)
     got = np.asarray(jnp.roll(got, (ss[0], ss[1], ss[2]), axis=(1, 2, 3)))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_tmsag_fuse_block_matches_under_scan():
+    """TMSAG(fuse_block=True) — fused TMSA kernel inside the nn.scan pair —
+    must produce the SAME param tree as the standard path and matching
+    outputs (interpret mode)."""
+    from unittest import mock
+    from kair_tpu.models.vrt import TMSAG
+    import kair_tpu.ops.pallas.tmsa_block as tb
+
+    x = jnp.asarray(np.random.RandomState(9).rand(1, 4, 16, 16, C) * 0.5,
+                    jnp.float32)
+    std = TMSAG(C, 4, NH, WS, mut_attn=True)
+    variables = std.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(std.apply(variables, x))
+
+    fused = TMSAG(C, 4, NH, WS, mut_attn=True, fuse_block=True)
+    orig = tb.tmsa_block_pallas
+    with mock.patch.object(tb, "tmsa_block_pallas",
+                           lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        fused_vars = fused.init(jax.random.PRNGKey(1), x)
+        # identical param structure AND values (same submodules declare them)
+        assert jax.tree_util.tree_structure(fused_vars) == \
+            jax.tree_util.tree_structure(variables)
+        got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
