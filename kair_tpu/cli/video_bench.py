@@ -1,0 +1,82 @@
+"""VRT video-restoration throughput benchmark (single chip).
+
+    python -m kair_tpu.cli.video_bench --frames 6 --size 64 [--fuse]
+
+Measures LR frame-megapixels/sec at the released VRT 001 REDS 6-frame
+config (main_test_vrt.py:162-169) with the bench.py chained-fori timing
+methodology (the tunnelled runtime acks block_until_ready early — only a
+host transfer truly synchronizes, so K iterations are chained through a
+data dependency and the K=1 baseline is subtracted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=6)
+    parser.add_argument("--size", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--fuse", action="store_true",
+                        help="fused Pallas TMSA blocks for the (2,8,8) "
+                             "mutual-attention groups")
+    parser.add_argument("--k", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from kair_tpu.models.vrt import VRT
+
+    model = VRT(deformable_groups=12, dtype=jnp.bfloat16,
+                fuse_block=args.fuse)
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        args.batch, args.frames, args.size, args.size, 3), jnp.float32)
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+
+    def chain(v, a, k):
+        def body(_, acc):
+            y = model.apply(v, acc)
+            return y[:, :, ::4, ::4, :]
+        return jnp.sum(jax.lax.fori_loop(0, k, body, a).astype(jnp.float32))
+
+    fn = jax.jit(chain, static_argnums=(2,))
+    float(fn(variables, x, 1))
+    float(fn(variables, x, args.k))
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter(); float(fn(variables, x, args.k))
+        tk = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(fn(variables, x, 1))
+        t1 = time.perf_counter() - t0
+        diffs.append(tk - t1)
+    per_iter = max(min(diffs) / (args.k - 1), 1e-9)
+    mp = args.batch * args.frames * args.size * args.size / 1e6
+    print(json.dumps({
+        "metric": f"VRT 6-frame x4 SR throughput "
+                  f"({args.frames}x{args.size}px, bf16"
+                  f"{', fused TMSA' if args.fuse else ''})",
+        "value": round(mp / per_iter, 4),
+        "unit": "MP/s/chip",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

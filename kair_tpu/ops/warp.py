@@ -35,6 +35,8 @@ def _gather_2d(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
 def _sample_bilinear(x, fy, fx, padding_mode: str):
     """Bilinear sample at float pixel coords fy/fx (N,Ho,Wo) → (N,Ho,Wo,C).
     padding 'zeros' | 'border'."""
+    if padding_mode == "zeros":
+        return _sample_bilinear_patch(x, fy, fx)
     n, h, w, c = x.shape
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -58,6 +60,42 @@ def _sample_bilinear(x, fy, fx, padding_mode: str):
     wy = wy.astype(x.dtype)
     return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
             v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+def _sample_bilinear_patch(x, fy, fx):
+    """Bilinear 'zeros' sampling as ONE (2,2,C) patch gather per pixel on a
+    zero-padded map, instead of 4 separate corner gathers — TPU gather
+    cost scales with the number of index rows, and the deformable-conv
+    stack (108 samples per pa_deform call) is gather-bound."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = (fy - y0)[..., None].astype(x.dtype)
+    wx = (fx - x0)[..., None].astype(x.dtype)
+    # patch start in padded coords; valid iff BOTH corners map inside the
+    # one-pixel zero ring (fy ∈ [-1, h)) — farther out the true result is 0
+    sy = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
+    sx = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
+    valid = ((fy >= -1) & (fy < h) & (fx >= -1) & (fx < w))
+
+    ho, wo = fy.shape[1], fy.shape[2]
+    idx = jnp.stack([sy.reshape(n, -1), sx.reshape(n, -1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def per_image(xp_i, idx_i):
+        return jax.lax.gather(xp_i, idx_i, dn, slice_sizes=(2, 2, c),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    patch = jax.vmap(per_image)(xp, idx)          # (N, P, 2, 2, C)
+    patch = patch.reshape(n, ho, wo, 2, 2, c)
+    out = (patch[:, :, :, 0, 0] * (1 - wy) * (1 - wx)
+           + patch[:, :, :, 0, 1] * (1 - wy) * wx
+           + patch[:, :, :, 1, 0] * wy * (1 - wx)
+           + patch[:, :, :, 1, 1] * wy * wx)
+    return out * valid[..., None].astype(x.dtype)
 
 
 def _sample_nearest(x, fy, fx, padding_mode: str):
