@@ -76,7 +76,7 @@ def main():
                    fuse_block=True)
 
     lr_size = 128
-    batch = 8
+    batch = 16
     x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3),
                     jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)

@@ -47,27 +47,33 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
                           jnp.arange(w, dtype=q.dtype), indexing="ij")
     off = offset.reshape(b, clip, h, w, dg, K, 2)
 
-    def sample_group(x_g, fy_g, fx_g):
-        # x_g (B,H,W,cg); fy/fx (B,H,W)
-        return _sample_bilinear(x_g, fy_g, fx_g, "zeros")
+    # one vmapped gather over (clip, K, dg) instead of a clip*K python loop
+    # of per-group gathers (2*clip*K separate gather subgraphs dominated
+    # the HLO and underused the TPU's gather throughput)
+    ky = (jnp.arange(K) // kw - pad).astype(q.dtype)          # (K,)
+    kx = (jnp.arange(K) % kw - pad).astype(q.dtype)
+    fy = gy[None, None, None, :, :, None] + ky[None, None, :, None, None, None] \
+        + off[..., 0].transpose(0, 1, 5, 2, 3, 4)             # (B,clip,K,H,W,dg)
+    fx = gx[None, None, None, :, :, None] + kx[None, None, :, None, None, None] \
+        + off[..., 1].transpose(0, 1, 5, 2, 3, 4)
+    # layout: (clip, K, dg, B, H, W)
+    fy = fy.transpose(1, 2, 5, 0, 3, 4)
+    fx = fx.transpose(1, 2, 5, 0, 3, 4)
+    kf = k_feat.reshape(b, clip, h, w, dg, cg).transpose(1, 4, 0, 2, 3, 5)
+    vf = v_feat.reshape(b, clip, h, w, dg, cg).transpose(1, 4, 0, 2, 3, 5)
 
-    sample_groups = jax.vmap(sample_group, in_axes=(3, 3, 3), out_axes=3)
+    def over_clip(feat_c, fy_c, fx_c):                # feat (dg,B,H,W,cg)
+        def over_tap(fy_t, fx_t):                     # fy_t (dg,B,H,W)
+            return jax.vmap(lambda fg, yy, xx: _sample_bilinear(
+                fg, yy, xx, "zeros"))(feat_c, fy_t, fx_t)
+        return jax.vmap(over_tap)(fy_c, fx_c)         # (K,dg,B,H,W,cg)
 
-    k_samps = []
-    v_samps = []
-    for n in range(clip):
-        kf = k_feat[:, n].reshape(b, h, w, dg, cg)
-        vf = v_feat[:, n].reshape(b, h, w, dg, cg)
-        for t in range(K):
-            ty, tx = divmod(t, kw)
-            fy = gy[None, :, :, None] + (ty - pad) + off[:, n, :, :, :, t, 0]
-            fx = gx[None, :, :, None] + (tx - pad) + off[:, n, :, :, :, t, 1]
-            ks = sample_groups(kf, fy, fx)            # (B,H,W,dg,cg)
-            vs = sample_groups(vf, fy, fx)
-            k_samps.append(ks.reshape(b, h, w, c))
-            v_samps.append(vs.reshape(b, h, w, c))
-    k_s = jnp.stack(k_samps, axis=3)                  # (B,H,W,S,C)
-    v_s = jnp.stack(v_samps, axis=3)
+    ks = jax.vmap(over_clip)(kf, fy, fx)              # (clip,K,dg,B,H,W,cg)
+    vs = jax.vmap(over_clip)(vf, fy, fx)
+    # → (B,H,W,S=clip*K,C=dg*cg); S ordered clip-major then tap (matches
+    # the loop order of the CUDA path)
+    k_s = ks.transpose(3, 4, 5, 0, 1, 2, 6).reshape(b, h, w, clip * K, c)
+    v_s = vs.transpose(3, 4, 5, 0, 1, 2, 6).reshape(b, h, w, clip * K, c)
 
     S = clip * K
     qh = q.reshape(b, h, w, heads, hd) * scale
