@@ -47,33 +47,35 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
                           jnp.arange(w, dtype=q.dtype), indexing="ij")
     off = offset.reshape(b, clip, h, w, dg, K, 2)
 
-    # one vmapped gather over (clip, K, dg) instead of a clip*K python loop
-    # of per-group gathers (2*clip*K separate gather subgraphs dominated
-    # the HLO and underused the TPU's gather throughput)
+    # gather granularity (measured on v5e, see ops/warp.py): python loop
+    # over (clip, dg) with the K taps vmapped inside — many small index
+    # sets beat one big vmapped gather on the TPU gather path, while the
+    # HLO stays at clip*dg subgraphs instead of 2*clip*K*dg
     ky = (jnp.arange(K) // kw - pad).astype(q.dtype)          # (K,)
     kx = (jnp.arange(K) % kw - pad).astype(q.dtype)
-    fy = gy[None, None, None, :, :, None] + ky[None, None, :, None, None, None] \
-        + off[..., 0].transpose(0, 1, 5, 2, 3, 4)             # (B,clip,K,H,W,dg)
-    fx = gx[None, None, None, :, :, None] + kx[None, None, :, None, None, None] \
-        + off[..., 1].transpose(0, 1, 5, 2, 3, 4)
-    # layout: (clip, K, dg, B, H, W)
-    fy = fy.transpose(1, 2, 5, 0, 3, 4)
-    fx = fx.transpose(1, 2, 5, 0, 3, 4)
-    kf = k_feat.reshape(b, clip, h, w, dg, cg).transpose(1, 4, 0, 2, 3, 5)
-    vf = v_feat.reshape(b, clip, h, w, dg, cg).transpose(1, 4, 0, 2, 3, 5)
-
-    def over_clip(feat_c, fy_c, fx_c):                # feat (dg,B,H,W,cg)
-        def over_tap(fy_t, fx_t):                     # fy_t (dg,B,H,W)
-            return jax.vmap(lambda fg, yy, xx: _sample_bilinear(
-                fg, yy, xx, "zeros"))(feat_c, fy_t, fx_t)
-        return jax.vmap(over_tap)(fy_c, fx_c)         # (K,dg,B,H,W,cg)
-
-    ks = jax.vmap(over_clip)(kf, fy, fx)              # (clip,K,dg,B,H,W,cg)
-    vs = jax.vmap(over_clip)(vf, fy, fx)
-    # → (B,H,W,S=clip*K,C=dg*cg); S ordered clip-major then tap (matches
-    # the loop order of the CUDA path)
-    k_s = ks.transpose(3, 4, 5, 0, 1, 2, 6).reshape(b, h, w, clip * K, c)
-    v_s = vs.transpose(3, 4, 5, 0, 1, 2, 6).reshape(b, h, w, clip * K, c)
+    k_parts = []
+    v_parts = []
+    for n_c in range(clip):
+        kf = k_feat[:, n_c].reshape(b, h, w, dg, cg)
+        vf = v_feat[:, n_c].reshape(b, h, w, dg, cg)
+        kg_parts, vg_parts = [], []
+        for g in range(dg):
+            fy_g = gy[None, None] + ky[:, None, None, None] \
+                + off[:, n_c, :, :, g, :, 0].transpose(3, 0, 1, 2)  # (K,B,H,W)
+            fx_g = gx[None, None] + kx[:, None, None, None] \
+                + off[:, n_c, :, :, g, :, 1].transpose(3, 0, 1, 2)
+            ks = jax.vmap(lambda fy, fx: _sample_bilinear(
+                kf[:, :, :, g, :], fy, fx, "zeros"))(fy_g, fx_g)
+            vs = jax.vmap(lambda fy, fx: _sample_bilinear(
+                vf[:, :, :, g, :], fy, fx, "zeros"))(fy_g, fx_g)
+            kg_parts.append(ks.transpose(1, 2, 3, 0, 4))      # (B,H,W,K,cg)
+            vg_parts.append(vs.transpose(1, 2, 3, 0, 4))
+        # channel order dg-major (matches k_feat reshape)
+        k_parts.append(jnp.concatenate(kg_parts, axis=-1))    # (B,H,W,K,C)
+        v_parts.append(jnp.concatenate(vg_parts, axis=-1))
+    # S = clip*K ordered clip-major then tap (the CUDA path's loop order)
+    k_s = jnp.concatenate(k_parts, axis=3)                    # (B,H,W,S,C)
+    v_s = jnp.concatenate(v_parts, axis=3)
 
     S = clip * K
     qh = q.reshape(b, h, w, heads, hd) * scale

@@ -194,22 +194,23 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
     m = mask.reshape(n, ho, wo, dg, K)
 
     cg = cin // dg
-    # one vmapped gather over (dg, K) instead of a dg*K python loop: the
-    # unrolled loop emitted ~100 gather subgraphs PER CALL and, with ~70
-    # pa_deform calls, dominated VRT's 280 MB HLO (uncompilable on TPU)
-    fy_all = gy[None, None, None] + ky[None, :, None, None, None] \
-        + dy.transpose(3, 4, 0, 1, 2)                    # (dg,K,N,Ho,Wo)
-    fx_all = gx[None, None, None] + kx[None, :, None, None, None] \
-        + dx.transpose(3, 4, 0, 1, 2)
-    xg_t = x.reshape(n, h, w, dg, cg).transpose(3, 0, 1, 2, 4)  # (dg,N,H,W,cg)
-
-    def sample_group(x_g, fy_g, fx_g):                    # over dg
-        return jax.vmap(lambda fy, fx: _sample_bilinear(x_g, fy, fx,
-                                                        "zeros"))(fy_g, fx_g)
-
-    samples = jax.vmap(sample_group)(xg_t, fy_all, fx_all)  # (dg,K,N,Ho,Wo,cg)
-    samples = samples * m.transpose(3, 4, 0, 1, 2)[..., None]
-    cols = samples.transpose(2, 3, 4, 0, 1, 5).reshape(n, ho, wo, dg * K * cg)
+    # gather granularity (measured on v5e): python loop over dg with a
+    # vmapped K-tap gather inside — 1.5x faster than one (dg,K)-vmapped
+    # gather (many small index sets beat one big one on the TPU gather
+    # path) while keeping the HLO at dg subgraphs per call, not dg*K
+    # (the fully unrolled loop made the 13-stage VRT uncompilable)
+    xg = x.reshape(n, h, w, dg, cg)
+    outs = []
+    for g in range(dg):
+        fy_g = gy[None, None] + ky[:, None, None, None] \
+            + dy[:, :, :, g, :].transpose(3, 0, 1, 2)     # (K,N,Ho,Wo)
+        fx_g = gx[None, None] + kx[:, None, None, None] \
+            + dx[:, :, :, g, :].transpose(3, 0, 1, 2)
+        s = jax.vmap(lambda fy, fx: _sample_bilinear(
+            xg[:, :, :, g, :], fy, fx, "zeros"))(fy_g, fx_g)
+        s = s * m[:, :, :, g, :].transpose(3, 0, 1, 2)[..., None]
+        outs.append(s.transpose(1, 2, 3, 0, 4).reshape(n, ho, wo, K * cg))
+    cols = jnp.concatenate(outs, axis=-1) if dg > 1 else outs[0]
     # weight reorder to match col layout: dg groups × K × cg — torch weight
     # is (kh,kw,Cin,Cout) with Cin = dg*cg ordered [g, cg]
     wmat = weight.reshape(K, dg, cg, cout).transpose(1, 0, 2, 3).reshape(
