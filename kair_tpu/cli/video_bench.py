@@ -18,12 +18,13 @@ import time
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
+    parser.add_argument("--net", choices=["vrt", "rvrt"], default="vrt")
     parser.add_argument("--frames", type=int, default=6)
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--fuse", action="store_true",
                         help="fused Pallas TMSA blocks for the (2,8,8) "
-                             "mutual-attention groups")
+                             "mutual-attention groups (vrt)")
     parser.add_argument("--k", type=int, default=4)
     args = parser.parse_args(argv)
 
@@ -40,10 +41,15 @@ def main(argv=None):
     except Exception:
         pass
 
-    from kair_tpu.models.vrt import VRT
+    if args.net == "rvrt":
+        from kair_tpu.models.rvrt import RVRT
 
-    model = VRT(deformable_groups=12, dtype=jnp.bfloat16,
-                fuse_block=args.fuse)
+        model = RVRT(dtype=jnp.bfloat16)   # released 001 REDS 30-frame cfg
+    else:
+        from kair_tpu.models.vrt import VRT
+
+        model = VRT(deformable_groups=12, dtype=jnp.bfloat16,
+                    fuse_block=args.fuse)
     x = jnp.asarray(np.random.RandomState(0).rand(
         args.batch, args.frames, args.size, args.size, 3), jnp.float32)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
@@ -69,7 +75,7 @@ def main(argv=None):
     per_iter = max(min(diffs) / (args.k - 1), 1e-9)
     mp = args.batch * args.frames * args.size * args.size / 1e6
     print(json.dumps({
-        "metric": f"VRT 6-frame x4 SR throughput "
+        "metric": f"{args.net.upper()} x4 video SR throughput "
                   f"({args.frames}x{args.size}px, bf16"
                   f"{', fused TMSA' if args.fuse else ''})",
         "value": round(mp / per_iter, 4),
