@@ -34,12 +34,15 @@ def load_torch_state_dict(path: str, param_key: Optional[str] = None,
 
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except (OSError, EOFError):
+        raise                      # missing/corrupt file — not a pickle issue
+    except Exception as e:
         if not allow_pickle:
             raise RuntimeError(
                 f"{path} is not a plain-tensor checkpoint (weights_only "
                 "load failed). If the file is trusted, retry with "
-                "allow_pickle=True — unpickling executes arbitrary code.")
+                "allow_pickle=True — unpickling executes arbitrary "
+                "code.") from e
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if param_key is not None and param_key in sd:
         sd = sd[param_key]

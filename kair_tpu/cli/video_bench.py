@@ -27,6 +27,7 @@ def main(argv=None):
                              "mutual-attention groups (vrt)")
     parser.add_argument("--k", type=int, default=4)
     args = parser.parse_args(argv)
+    args.k = max(2, args.k)        # per_iter divides by k-1
 
     import numpy as np
     import jax

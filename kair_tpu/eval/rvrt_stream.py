@@ -45,6 +45,37 @@ def _warp_clip(fp, fl):
     return flow_warp(flat, fl_flat).reshape(fp.shape)
 
 
+# module-level jitted stage programs with the (hashable, frozen) flax
+# module as a static arg: the jit cache persists ACROSS
+# rvrt_forward_streamed calls, so a harness looping over many videos
+# compiles each stage once per shape, not once per video
+@functools.partial(jax.jit, static_argnums=(0,))
+def _st_shallow(model, variables, clip):
+    return model.apply(variables, stage="shallow", clip=clip)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _st_flow(model, variables, l1, l2):
+    return model.apply(variables, stage="flow", l1=l1, l2=l2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _st_deform(model, variables, module, q, k, v, w1, w2, f1, f2):
+    return model.apply(variables, stage="deform", module=module, q=q, k=k,
+                       v=v, warped=[w1, w2], flows=[f1, f2],
+                       update="_1" in module)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _st_backbone(model, variables, module, cat):
+    return model.apply(variables, stage="backbone", module=module, cat=cat)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _st_recon(model, variables, cat, lq):
+    return model.apply(variables, stage="recon", cat=cat, lq=lq)
+
+
 def rvrt_forward_streamed(model, variables, lqs: np.ndarray) -> np.ndarray:
     """Run RVRT on (N, T, H, W, 3) with per-clip device residency.
 
@@ -57,20 +88,13 @@ def rvrt_forward_streamed(model, variables, lqs: np.ndarray) -> np.ndarray:
     n_clips = t // clip
     lqs = np.asarray(lqs, np.float32)
 
-    def stage(name, **kw):
-        return model.apply(variables, stage=name, **kw)
-
-    shallow_fn = jax.jit(lambda c: stage("shallow", clip=c))
-    flow_fn = jax.jit(lambda a, b: stage("flow", l1=a, l2=b))
-    deform_fns = {
-        m: jax.jit(lambda q, k, v, w1, w2, f1, f2, m=m: stage(
-            "deform", module=m, q=q, k=k, v=v, warped=[w1, w2],
-            flows=[f1, f2], update="_1" in m))
-        for m in _ORDER}
-    backbone_fns = {
-        m: jax.jit(lambda cat, m=m: stage("backbone", module=m, cat=cat))
-        for m in _ORDER}
-    recon_fn = jax.jit(lambda cat, lq: stage("recon", cat=cat, lq=lq))
+    shallow_fn = functools.partial(_st_shallow, model, variables)
+    flow_fn = functools.partial(_st_flow, model, variables)
+    deform_fns = {m: functools.partial(_st_deform, model, variables, m)
+                  for m in _ORDER}
+    backbone_fns = {m: functools.partial(_st_backbone, model, variables, m)
+                    for m in _ORDER}
+    recon_fn = functools.partial(_st_recon, model, variables)
 
     def clip_of(arr, i):
         return arr[:, i * clip:(i + 1) * clip]

@@ -78,40 +78,6 @@ def compute_mask_3d(D, H, W, window_size, shift_size) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def compute_mask_3d_compact(D, H, W, window_size, shift_size):
-    """(patterns (8, N, N), window index (nW,)) — the same masks as
-    compute_mask_3d but factored: only boundary windows along each shifted
-    axis carry a distinct pattern, so 8 corner samples cover every window.
-    Embedding the per-window mask as a trace-time constant costs multiple
-    MBs of HLO per block (the full 13-stage VRT became uncompilable); the
-    compact form is <0.6 MB total with an in-graph gather."""
-    full = compute_mask_3d(D, H, W, window_size, shift_size)
-    nd = D // window_size[0]
-    nh = H // window_size[1]
-    nw = W // window_size[2]
-    n = full.shape[-1]
-    grid = full.reshape(nd, nh, nw, n, n)
-    pats = np.zeros((8, n, n), np.float32)
-    for ild in (0, 1):
-        for ilh in (0, 1):
-            for ilw in (0, 1):
-                pats[4 * ild + 2 * ilh + ilw] = grid[
-                    (nd - 1) if ild else 0,
-                    (nh - 1) if ilh else 0,
-                    (nw - 1) if ilw else 0]
-    di = (np.arange(nd) == nd - 1).astype(np.int32) * 4
-    hi = (np.arange(nh) == nh - 1).astype(np.int32) * 2
-    wi = (np.arange(nw) == nw - 1).astype(np.int32)
-    idx = (di[:, None, None] + hi[None, :, None]
-           + wi[None, None, :]).reshape(-1)
-    # the factorization assumes interior windows share the zero pattern —
-    # verify once per geometry (cached)
-    assert np.array_equal(pats[idx], grid.reshape(-1, n, n)), \
-        "mask factorization mismatch"
-    return pats, idx
-
-
-@functools.lru_cache(maxsize=64)
 def compute_mask_labels_3d(D, H, W, window_size, shift_size):
     """(labels (8, N) int32, window index (nW,)) — the factored form of
     compute_mask_3d: per-token REGION LABELS for the 8 boundary-corner

@@ -38,34 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kair_tpu.ops.pallas.swin_block import _erf
-from kair_tpu.ops.pallas.window_msa import _HD_PAD, _NEG
+from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG,
+                                            pack_qkv_fused)
 
 N = 128          # tokens per (2,8,8) window
 HALF = 64
-
-
-def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float):
-    """(C, 3C) → wqkv (C, nh*3*32) per-head [q|k|v] 32-lane blocks with the
-    attention scale folded into q; bqkv (nh*96,)."""
-    c = qkv_kernel.shape[0]
-    hd = c // num_heads
-    wq, wk, wv = jnp.split(qkv_kernel, 3, axis=1)
-    if qkv_bias is None:
-        qkv_bias = jnp.zeros((3 * c,), qkv_kernel.dtype)
-    bq, bk, bv = jnp.split(qkv_bias, 3)
-
-    def heads_w(w):
-        w = w.reshape(c, num_heads, hd).transpose(1, 0, 2)
-        return jnp.pad(w, ((0, 0), (0, 0), (0, _HD_PAD - hd)))
-
-    def heads_b(b):
-        return jnp.pad(b.reshape(num_heads, hd), ((0, 0), (0, _HD_PAD - hd)))
-
-    wqkv = jnp.stack([heads_w(wq) * scale, heads_w(wk), heads_w(wv)], axis=1)
-    wqkv = wqkv.transpose(2, 0, 1, 3).reshape(c, num_heads * 3 * _HD_PAD)
-    bqkv = jnp.stack([heads_b(bq) * scale, heads_b(bk), heads_b(bv)],
-                     axis=1).reshape(-1)
-    return wqkv, bqkv
 
 
 def pack_proj2(proj_kernel, num_heads: int):

@@ -84,8 +84,7 @@ def _blockdiag_neg(n: int = 64) -> np.ndarray:
     return m
 
 
-def pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel, num_heads: int,
-                       scale: float):
+def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float):
     """Host-side relayout for the ONE-matmul qkv path: (C, 3C) →
     wqkv (C, nh*3*32) with per-head [q|k|v] 32-lane blocks, and
     bqkv (nh*96,). The attention scale is folded into the q columns
@@ -109,13 +108,20 @@ def pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel, num_heads: int,
         return jnp.pad(b.reshape(num_heads, hd),
                        ((0, 0), (0, _HD_PAD - hd)))
 
-    wq3, wk3, wv3 = heads_w(wq) * scale, heads_w(wk), heads_w(wv)
-    bq2, bk2, bv2 = heads_b(bq) * scale, heads_b(bk), heads_b(bv)
     # interleave per head: [q_h | k_h | v_h] blocks of 32 lanes
-    wqkv = jnp.stack([wq3, wk3, wv3], axis=1)       # (nh, 3, C, 32)
+    wqkv = jnp.stack([heads_w(wq) * scale, heads_w(wk), heads_w(wv)], axis=1)
     wqkv = wqkv.transpose(2, 0, 1, 3).reshape(c, num_heads * 3 * _HD_PAD)
-    bqkv = jnp.stack([bq2, bk2, bv2], axis=1).reshape(-1)
+    bqkv = jnp.stack([heads_b(bq) * scale, heads_b(bk), heads_b(bv)],
+                     axis=1).reshape(-1)
+    return wqkv, bqkv
 
+
+def pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel, num_heads: int,
+                       scale: float):
+    """pack_qkv_fused + the padded head-major projection rows."""
+    c = qkv_kernel.shape[0]
+    hd = c // num_heads
+    wqkv, bqkv = pack_qkv_fused(qkv_kernel, qkv_bias, num_heads, scale)
     wp = proj_kernel.reshape(num_heads, hd, c)
     wp = jnp.pad(wp, ((0, 0), (0, _HD_PAD - hd), (0, 0)))
     wp = wp.reshape(num_heads * _HD_PAD, c)

@@ -167,16 +167,17 @@ def g_path_regularize(g_fn: Callable, latents, mean_path_length,
                       noise=None, rng=None, decay: float = 0.01):
     """StyleGAN2 path-length regularization (reference loss.py:239-251).
 
-    g_fn: latents (B, n_latent, D) -> fake image (B, H, W, C) or (B, C, H, W)
-    — the spatial size is read from axes (1, 2) torch-style when the array
-    is NCHW, (1, 2) for NHWC too (both use dims 2,3 in torch = H,W; we use
-    the product of the two middle axes, which is H*W either way).
+    g_fn: latents (B, n_latent, D) -> fake image (B, H, W, C) — this
+    framework's NHWC layout; the default noise is normalized by
+    sqrt(H*W) = sqrt(shape[1]*shape[2]) (the reference normalizes by its
+    NCHW shape[2]*shape[3], loss.py:240-241 — same quantity). Pass
+    `noise` explicitly for any other layout.
 
     Returns (path_penalty, mean(path_lengths), new_mean_path_length) — the
     last is stop-gradiented, carry it as training state."""
     fake, vjp = jax.vjp(g_fn, latents)
     if noise is None:
-        hw = fake.shape[2] * fake.shape[3] if fake.ndim == 4 else fake.size
+        hw = fake.shape[1] * fake.shape[2] if fake.ndim == 4 else fake.size
         noise = jax.random.normal(rng, fake.shape, fake.dtype) / math.sqrt(hw)
     grad = vjp(noise)[0]                                  # (B, n_latent, D)
     path_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grad), axis=2),
