@@ -32,7 +32,8 @@ from flax import linen as nn
 
 from kair_tpu.ops.blocks import Conv, pixel_shuffle, upsample_nearest
 from kair_tpu.ops.window_attention import (relative_position_index,
-                                           shift_attn_mask, window_msa,
+                                           shift_attn_mask_graph,
+                                           window_msa,
                                            window_partition, window_reverse)
 
 _gelu = lambda x: jax.nn.gelu(x, approximate=False)
@@ -78,7 +79,9 @@ class SwinBlock(nn.Module):
         # rel_idx stays numpy: converted checkpoints hold numpy params, and
         # numpy fancy-indexing by a traced index breaks under jit
         rel_idx = relative_position_index(ws, ws)
-        mask = jnp.asarray(shift_attn_mask(h, w, ws, shift)) if shift > 0 else None
+        # in-graph mask from (nW, N) labels: the (nW, N, N) literal is
+        # ~4 MB of HLO per shifted block at 128px (compile-time killer)
+        mask = shift_attn_mask_graph(h, w, ws, shift) if shift > 0 else None
         hidden = int(c * self.mlp_ratio)
 
         if self.fuse_block:

@@ -56,9 +56,9 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=64)
-def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """Static (nW, N, N) 0/-100 mask for shifted windows
-    (reference calculate_mask, network_swinir.py:216-239)."""
+def shift_window_labels(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, N) int32 per-token region labels for shifted windows
+    (reference calculate_mask regions, network_swinir.py:216-239)."""
     img_mask = np.zeros((h, w), np.int32)
     cnt = 0
     for hs in (slice(0, h - ws), slice(h - ws, h - shift), slice(h - shift, h)):
@@ -66,9 +66,24 @@ def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
             img_mask[hs, wsl] = cnt
             cnt += 1
     mw = img_mask.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
-    mw = mw.reshape(-1, ws * ws)
+    return np.ascontiguousarray(mw.reshape(-1, ws * ws))
+
+
+@lru_cache(maxsize=64)
+def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Static (nW, N, N) 0/-100 mask for shifted windows
+    (reference calculate_mask, network_swinir.py:216-239)."""
+    mw = shift_window_labels(h, w, ws, shift)
     attn_mask = mw[:, None, :] - mw[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def shift_attn_mask_graph(h: int, w: int, ws: int, shift: int):
+    """The same (nW, N, N) mask built IN-GRAPH from the (nW, N) labels —
+    the materialized literal costs MBs of HLO per shifted block at real
+    image sizes (the compile-time bottleneck of full-size SwinIR)."""
+    lab = jnp.asarray(shift_window_labels(h, w, ws, shift))
+    return jnp.where(lab[:, None, :] != lab[:, :, None], -100.0, 0.0)
 
 
 def window_msa(xw: jnp.ndarray,
