@@ -15,7 +15,10 @@ round-trip and dispatch overhead. Sanity-capped at the chip's bf16 peak.
 
 The reference publishes no absolute MP/s number (BASELINE.md), so
 vs_baseline is the ratio against BASELINE.json's published
-mp_per_s_per_chip when present, else null.
+mp_per_s_per_chip when present; otherwise the bench self-scores against
+the chip's physics: vs_baseline = achieved TFLOP/s / v5e bf16 peak (MFU),
+with `tflops`, `mfu`, and `flops_per_lr_pixel` emitted alongside so the
+number is auditable (VERDICT r2 "self-scoring perf number").
 """
 
 from __future__ import annotations
@@ -24,6 +27,39 @@ import json
 import time
 
 import numpy as np
+
+V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e published bf16 peak per chip
+
+
+def swinir_flops_per_lr_pixel(embed_dim=180, depths=(6,) * 6, num_heads=6,
+                              window=8, mlp_ratio=2.0, num_feat=64,
+                              in_chans=3, upscale=4) -> float:
+    """Analytic FLOPs (mul+add = 2) per LR pixel for SwinIR classical SR
+    with the pixelshuffle head (mirrors main_challenge_sr.py:99-171's
+    FLOPs report; counted on the UNPADDED head dim — padding the head dim
+    to 32 lanes is an implementation cost, not useful work).
+
+    Counted per token: qkv C·3C, attention scores+PV 2·N·hd·nh with
+    N=window², proj C·C, MLP 2·C·(mlp_ratio·C); per-RSTB conv3x3 C·C·9;
+    conv_first/after_body, upsample head convs."""
+    c = embed_dim
+    n = window * window
+    hd = c // num_heads
+    blocks = sum(depths)
+    per_token = (c * 3 * c) + 2 * (n * hd * num_heads) + (c * c) \
+        + 2 * int(c * mlp_ratio) * c
+    dense = blocks * per_token
+    convs = 9 * (in_chans * c                       # conv_first
+                 + len(depths) * c * c              # per-RSTB conv
+                 + c * c                            # conv_after_body
+                 + c * num_feat)                    # conv_before_upsample
+    s, f = upscale, num_feat
+    while s > 1:
+        r = 3 if s % 3 == 0 else 2
+        convs += 9 * f * (f * r * r)
+        s //= r
+    convs += 9 * f * in_chans * upscale ** 2        # conv_last at HR size
+    return 2.0 * (dense + convs)
 
 
 def _timed_chain(model_apply, variables, x, k: int) -> float:
@@ -94,7 +130,12 @@ def main():
 
     mp_per_s = batch * lr_size * lr_size / per_iter / 1e6
 
+    fppx = swinir_flops_per_lr_pixel()
+    tflops = mp_per_s * 1e6 * fppx / 1e12
+    mfu = tflops / V5E_PEAK_BF16_TFLOPS
+
     vs = None
+    metric = "SwinIR-M x4 SR throughput (LR megapixels/sec/chip, bf16)"
     try:
         with open("BASELINE.json") as f:
             base = json.load(f).get("published") or {}
@@ -103,12 +144,19 @@ def main():
             vs = round(mp_per_s / ref, 4)
     except Exception:
         pass
+    if vs is None:
+        # self-score against chip physics: fraction of v5e bf16 peak
+        vs = round(mfu, 4)
+        metric += "; vs_baseline = MFU (fraction of 197 TFLOP/s v5e peak)"
 
     print(json.dumps({
-        "metric": "SwinIR-M x4 SR throughput (LR megapixels/sec/chip, bf16)",
+        "metric": metric,
         "value": round(mp_per_s, 4),
         "unit": "MP/s/chip",
         "vs_baseline": vs,
+        "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4),
+        "flops_per_lr_pixel": round(fppx),
     }))
 
 

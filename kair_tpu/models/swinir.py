@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from kair_tpu.ops.blocks import Conv, pixel_shuffle, upsample_nearest
+from kair_tpu.utils.logger import warn_once
 from kair_tpu.ops.window_attention import (relative_position_index,
                                            shift_attn_mask_graph,
                                            window_msa,
@@ -131,6 +132,12 @@ class SwinBlock(nn.Module):
                                          safe=True)
             elif n == 64 and nw % 2 == 0 and not train:
                 # window-pair kernel (inference-only fallback, W % 16 != 0)
+                warn_once(
+                    f"swin-pair-fallback-{h}x{w}x{ws}",
+                    f"SwinIR fused strip kernel disabled at {h}x{w} "
+                    f"(needs H%8==0 and W%16==0): using the slower "
+                    f"window-pair kernel — pad to these multiples for "
+                    f"full speed")
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas
                 xw = window_partition(x, ws)
                 xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel,
@@ -141,6 +148,15 @@ class SwinBlock(nn.Module):
             else:
                 # odd geometry (odd window count / tiny inputs) or training
                 # off the fused geometry: jnp path on the SAME flat params
+                warn_once(
+                    f"swin-xla-fallback-{h}x{w}x{ws}-{train}",
+                    f"SwinIR fuse_block=True fell back to the XLA path at "
+                    f"{h}x{w}, window {ws}, train={train} (~4x slower): "
+                    + ("window size 8 is required for the Pallas kernels "
+                       f"(got {ws} — e.g. JPEG-CAR configs); pad/crop or "
+                       "accept the XLA path"
+                       if n != 64 else
+                       "pad H to a multiple of 8 and W to a multiple of 16"))
                 x = _flat_block_xla(x, ws, flat, bias_table, rel_idx,
                                     self.num_heads, mask)
             if shift > 0:

