@@ -22,8 +22,12 @@ Shifted blocks: the caller applies the 3-D roll; the mask has at most 8
 distinct per-window patterns (interior/boundary along each axis), kept
 VMEM-resident and selected per window from the program position.
 
-Inference-only (training uses the XLA path). Numerics vs the XLA TMSA are
-asserted in tests/test_pallas_tmsa.py (interpret mode).
+Differentiable: the op carries a custom VJP — the forward under
+differentiation runs the Pallas kernel with the max-safe softmax
+(training logits are unbounded), and the backward recomputes through a
+jnp reference (`_reference_tmsa`, remat memory profile) exactly like
+ops/pallas/swin_block.py. Numerics vs the XLA TMSA are asserted in
+tests/test_pallas_tmsa.py (interpret mode), gradients likewise.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kair_tpu.ops.pallas.swin_block import _erf
+from kair_tpu.ops.pallas.swin_block import _gelu_fast
 from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG,
                                             pack_qkv_fused)
 
@@ -87,7 +91,7 @@ def make_tmsa_biases(bias_table, rel_idx, num_heads: int,
     return bias_self, jnp.asarray(bias_mut)
 
 
-def _attend(qkv, bias, g, h, dtype):
+def _attend(qkv, bias, g, h, dtype, safe: bool = False):
     """One (128,128) attention for window g, head h on packed qkv."""
     base = h * 3 * _HD_PAD
     q = qkv[:, base:base + _HD_PAD]
@@ -97,10 +101,21 @@ def _attend(qkv, bias, g, h, dtype):
     kg = k[g * N:(g + 1) * N]
     s = jax.lax.dot_general(qg, kg, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    e = jnp.exp(s + bias)
-    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-    return jnp.dot(p.astype(dtype), v[g * N:(g + 1) * N],
-                   preferred_element_type=jnp.float32)
+    s = s + bias
+    if safe:
+        # training path: logits are unbounded mid-training — pay the
+        # row-max pass (inference through released checkpoints keeps the
+        # max-free softmax: bounded scores can't overflow f32 exp)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    # VPU-lean softmax (see swin_block._block_body): row sum via MXU
+    # ones-matmul, 1/sum folded onto the (128,32) PV output rows
+    eb = e.astype(dtype)
+    rs = jnp.dot(eb, jnp.ones((N, 8), dtype),
+                 preferred_element_type=jnp.float32)[:, :1]
+    o = jnp.dot(eb, v[g * N:(g + 1) * N],
+                preferred_element_type=jnp.float32)
+    return o * (1.0 / rs)
 
 
 def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
@@ -109,7 +124,7 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
             fc11w_ref, fc11b_ref, fc12w_ref, fc12b_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
-            nd: int, nh_: int):
+            nd: int, nh_: int, safe: bool = False):
     g_w = n_win
     c = x_ref.shape[-1]
     w = x_ref.shape[3]
@@ -150,8 +165,8 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
                 bs = bias_self_ref[0, hd_i]
                 bm = bias_mut_ref[0, hd_i]
             s_list.append(_attend(qkv_s, bs.astype(jnp.float32), g, hd_i,
-                                  dtype))
-            om = _attend(qkv_m, bm.astype(jnp.float32), g, hd_i, dtype)
+                                  dtype, safe))
+            om = _attend(qkv_m, bm.astype(jnp.float32), g, hd_i, dtype, safe)
             # anti-diagonal attention: output halves swap back so token t
             # of frame 1 carries frame-2→frame-1 alignment and vice versa
             m_list.append(jnp.concatenate([om[HALF:], om[:HALF]], axis=0))
@@ -166,7 +181,7 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
     h2 = layernorm(x1, ln2s_ref, ln2b_ref)
     a = jnp.dot(h2, fc11w_ref[:], preferred_element_type=jnp.float32) \
         + fc11b_ref[:]
-    a = a * 0.5 * (1.0 + _erf(a * 0.7071067811865475))
+    a = _gelu_fast(a)
     gte = jnp.dot(h2, fc12w_ref[:], preferred_element_type=jnp.float32) \
         + fc12b_ref[:]
     hid = (a * gte).astype(dtype)
@@ -178,18 +193,8 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
     out_ref[0] = y4.reshape(2, 8, w, c)
 
 
-def tmsa_block_pallas(x, flat, pos, num_heads: int,
-                      bias_self, bias_mut, shifted: bool,
-                      interpret: bool = False):
-    """Fused TMSA block on (B, D, H, W, C), window (2, 8, 8).
-
-    x        already 3-D-rolled by the caller for shifted blocks
-    flat     (qkv_self_kernel, qkv_self_bias, qkv_mut_kernel, qkv_mut_bias,
-              proj_kernel(2C,C), proj_bias, ln1s, ln1b, ln2s, ln2b,
-              fc11_k, fc11_b, fc12_k, fc12_b, fc2_k, fc2_b)
-    pos      (128, C) sine position encoding (2-frame tile)
-    bias_*   (P, nh, 128, 128) pattern stacks from make_tmsa_biases
-    Requires D % 2 == 0, H % 8 == 0, W % 8 == 0."""
+def _impl(meta, x, flat, pos, bias_self, bias_mut):
+    num_heads, shifted, interpret, safe = meta
     (qkv_s_k, qkv_s_b, qkv_m_k, qkv_m_b, proj_k, proj_b,
      ln1s, ln1b, ln2s, ln2b, fc11k, fc11b, fc12k, fc12b, fc2k, fc2b) = flat
     b, d, h, w, c = x.shape
@@ -210,7 +215,7 @@ def tmsa_block_pallas(x, flat, pos, num_heads: int,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, n_win=n_win, shifted=shifted,
-        nd=nd, nh_=nh_)
+        nd=nd, nh_=nh_, safe=safe)
     bias_dtype = jnp.float32 if bias_self.shape[0] == 1 else jnp.bfloat16
     return pl.pallas_call(
         kernel,
@@ -228,6 +233,149 @@ def tmsa_block_pallas(x, flat, pos, num_heads: int,
       fc11k.astype(x.dtype), fc11b.astype(jnp.float32),
       fc12k.astype(x.dtype), fc12b.astype(jnp.float32),
       fc2k.astype(x.dtype), fc2b.astype(jnp.float32))
+
+
+def window_pattern_index(d: int, h: int, w: int, shifted: bool) -> np.ndarray:
+    """(nW,) int index of each (2,8,8) window's shift-mask pattern in
+    partition order — 4·is_last_d + 2·is_last_h + is_last_w (matches the
+    kernel's program-position selection; 0 everywhere when unshifted)."""
+    nd, nh_, nw = d // 2, h // 8, w // 8
+    if not shifted:
+        return np.zeros(nd * nh_ * nw, np.int32)
+    di = (np.arange(nd) == nd - 1).astype(np.int32) * 4
+    hi = (np.arange(nh_) == nh_ - 1).astype(np.int32) * 2
+    wi = (np.arange(nw) == nw - 1).astype(np.int32)
+    return (di[:, None, None] + hi[None, :, None]
+            + wi[None, None, :]).reshape(-1)
+
+
+def _reference_tmsa(x, flat, pos, num_heads, bias_self, bias_mut, widx):
+    """jnp mirror of the fused TMSA kernel on (B,D,H,W,C) — the
+    differentiable recompute path for the custom VJP (max-safe softmax,
+    matching the safe forward). widx (nW,) numpy selects each window's
+    bias pattern."""
+    (qkv_s_k, qkv_s_b, qkv_m_k, qkv_m_b, proj_k, proj_b,
+     ln1s, ln1b, ln2s, ln2b, fc11k, fc11b, fc12k, fc12b, fc2k, fc2b) = flat
+    b, d, h, w, c = x.shape
+    nd, nh_, nw_ = d // 2, h // 8, w // 8
+    n_windows = nd * nh_ * nw_
+    hd = c // num_heads
+    scale = hd ** -0.5
+    dtype = x.dtype
+
+    xw = x.reshape(b, nd, 2, nh_, 8, nw_, 8, c)
+    xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, n_windows, N, c)
+
+    def ln(v, s, bb):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
+        return (((vf - mu) * jax.lax.rsqrt(var + 1e-5)) * s + bb).astype(dtype)
+
+    def qkv_heads(inp, kern, bias):
+        y = jnp.einsum("bwnc,cd->bwnd", inp, kern.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        y = y.astype(dtype).reshape(b, n_windows, N, 3, num_heads, hd)
+        return (y[:, :, :, 0].transpose(0, 1, 3, 2, 4),
+                y[:, :, :, 1].transpose(0, 1, 3, 2, 4),
+                y[:, :, :, 2].transpose(0, 1, 3, 2, 4))
+
+    def mha(q, k, v, bias_w):
+        # bias_w (nW, nh, N, N) f32; safe softmax (the training forward)
+        s = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
+                       preferred_element_type=jnp.float32)
+        s = s + bias_w[None].astype(jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        return jnp.einsum("bwhnm,bwhmd->bwhnd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    hn = ln(xw, ln1s, ln1b)
+    wsel = jnp.asarray(widx)
+    bs = jnp.take(bias_self, wsel, axis=0)
+    bm = jnp.take(bias_mut, wsel, axis=0)
+
+    q, k, v = qkv_heads(hn, qkv_s_k, qkv_s_b)
+    os_ = mha(q * scale, k, v, bs)                       # (b,nW,nh,N,hd) f32
+    os_ = os_.transpose(0, 1, 3, 2, 4).reshape(b, n_windows, N, c)
+
+    hm = hn + pos[None, None].astype(dtype)
+    q, k, v = qkv_heads(hm, qkv_m_k, qkv_m_b)
+    om = mha(q * scale, k, v, bm)
+    om = jnp.concatenate([om[:, :, :, HALF:], om[:, :, :, :HALF]], axis=3)
+    om = om.transpose(0, 1, 3, 2, 4).reshape(b, n_windows, N, c)
+
+    acc = jnp.concatenate([om, os_], axis=-1).astype(dtype)
+    attn = jnp.einsum("bwnd,dc->bwnc", acc, proj_k.astype(dtype),
+                      preferred_element_type=jnp.float32) + proj_b
+    x1 = xw.astype(jnp.float32) + attn
+
+    h2 = ln(x1, ln2s, ln2b)
+    a = jnp.dot(h2, fc11k.astype(dtype),
+                preferred_element_type=jnp.float32) + fc11b
+    a = a * 0.5 * (1.0 + jax.lax.erf(a * 0.7071067811865475))
+    g = jnp.dot(h2, fc12k.astype(dtype),
+                preferred_element_type=jnp.float32) + fc12b
+    hid = (a * g).astype(dtype)
+    mlp = jnp.dot(hid, fc2k.astype(dtype),
+                  preferred_element_type=jnp.float32) + fc2b
+    y = (x1 + mlp).astype(dtype)
+
+    y = y.reshape(b, nd, nh_, nw_, 2, 8, 8, c)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d, h, w, c)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_tmsa(meta, x, flat, pos, bias_self, bias_mut):
+    """meta = (num_heads, shifted, interpret, safe). Forward = Pallas
+    kernel; under differentiation the forward switches to the max-safe
+    softmax and the backward recomputes through `_reference_tmsa`
+    (remat profile — only the block input is saved)."""
+    return _impl(meta, x, flat, pos, bias_self, bias_mut)
+
+
+def _fused_tmsa_fwd(meta, x, flat, pos, bias_self, bias_mut):
+    num_heads, shifted, interpret, _ = meta
+    safe_meta = (num_heads, shifted, interpret, True)
+    y = _impl(safe_meta, x, flat, pos, bias_self, bias_mut)
+    return y, (x, flat, pos, bias_self, bias_mut)
+
+
+def _fused_tmsa_bwd(meta, res, g):
+    num_heads, shifted, _, _ = meta
+    x, flat, pos, bias_self, bias_mut = res
+    widx = window_pattern_index(x.shape[1], x.shape[2], x.shape[3], shifted)
+    _, vjp = jax.vjp(
+        lambda xx, ff, pp, bs, bm: _reference_tmsa(
+            xx, ff, pp, num_heads, bs, bm, widx),
+        x, flat, pos, bias_self, bias_mut)
+    return vjp(g.astype(x.dtype))
+
+
+_fused_tmsa.defvjp(_fused_tmsa_fwd, _fused_tmsa_bwd)
+
+
+def tmsa_block_pallas(x, flat, pos, num_heads: int,
+                      bias_self, bias_mut, shifted: bool,
+                      interpret: bool = False, safe: bool = False):
+    """Fused TMSA block on (B, D, H, W, C), window (2, 8, 8).
+
+    x        already 3-D-rolled by the caller for shifted blocks
+    flat     (qkv_self_kernel, qkv_self_bias, qkv_mut_kernel, qkv_mut_bias,
+              proj_kernel(2C,C), proj_bias, ln1s, ln1b, ln2s, ln2b,
+              fc11_k, fc11_b, fc12_k, fc12_b, fc2_k, fc2_b)
+    pos      (128, C) sine position encoding (2-frame tile)
+    bias_*   (P, nh, 128, 128) pattern stacks from make_tmsa_biases
+    Requires D % 2 == 0, H % 8 == 0, W % 8 == 0.
+
+    Differentiable: under jax.grad the forward runs max-safe and the
+    backward recomputes through the jnp reference."""
+    meta = (num_heads, shifted, interpret, safe)
+    return _fused_tmsa(meta, x, flat, pos, bias_self, bias_mut)
 
 
 def tmsa_mask_patterns(dp, hp, wp_, ws, ss) -> np.ndarray:

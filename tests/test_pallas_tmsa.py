@@ -78,3 +78,37 @@ def test_tmsag_fuse_block_matches_under_scan():
             jax.tree_util.tree_structure(variables)
         got = np.asarray(fused.apply(variables, x))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_tmsa_fused_grads_match_xla():
+    """Custom-VJP grads of the fused TMSA block == XLA autodiff (the
+    trainable fused video attention of VERDICT r2 #3)."""
+    ss = (1, 4, 4)
+    x, variables, _, flat, pos2, rel_idx = _setup(ss)
+    model = TMSA(C, NH, WS, ss, mut_attn=True, geglu=True)
+
+    def loss_std(v, a):
+        return jnp.sum(model.apply(v, a) ** 2)
+
+    gx, gax = jax.jit(jax.grad(loss_std, argnums=(0, 1)))(variables, x)
+
+    fused = TMSA(C, NH, WS, ss, mut_attn=True, geglu=True, fuse_block=True)
+
+    def loss_fused(v, a):
+        return jnp.sum(fused.apply(v, a) ** 2)
+
+    from unittest import mock
+    import kair_tpu.ops.pallas.tmsa_block as tb
+    orig = tb.tmsa_block_pallas
+    with mock.patch.object(tb, "tmsa_block_pallas",
+                           lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        gf, gaf = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(variables, x)
+
+    np.testing.assert_allclose(np.asarray(gaf), np.asarray(gax),
+                               atol=2e-4, rtol=1e-3)
+    flatx = jax.tree_util.tree_leaves_with_path(gx)
+    flatf = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in flatx:
+        np.testing.assert_allclose(
+            np.asarray(flatf[path]), np.asarray(leaf), atol=2e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
