@@ -23,8 +23,9 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--fuse", action="store_true",
-                        help="fused Pallas TMSA blocks for the (2,8,8) "
-                             "mutual-attention groups (vrt)")
+                        help="fused Pallas attention blocks: (2,8,8) "
+                             "mutual+GEGLU TMSA groups (vrt) / self-only "
+                             "STL blocks in every RSTB (rvrt)")
     parser.add_argument("--k", type=int, default=4)
     args = parser.parse_args(argv)
     args.k = max(2, args.k)        # per_iter divides by k-1
@@ -45,7 +46,8 @@ def main(argv=None):
     if args.net == "rvrt":
         from kair_tpu.models.rvrt import RVRT
 
-        model = RVRT(dtype=jnp.bfloat16)   # released 001 REDS 30-frame cfg
+        # released 001 REDS 30-frame cfg
+        model = RVRT(dtype=jnp.bfloat16, fuse_block=args.fuse)
     else:
         from kair_tpu.models.vrt import VRT
 

@@ -41,6 +41,7 @@ class RSTB(nn.Module):
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     remat: bool = False
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -48,6 +49,7 @@ class RSTB(nn.Module):
         y = TMSAG(self.dim, self.depth, self.num_heads, self.window_size,
                   mut_attn=False, mlp_ratio=self.mlp_ratio,
                   qkv_bias=self.qkv_bias, geglu=False, remat=self.remat,
+                  fuse_block=self.fuse_block,
                   dtype=self.dtype, name="group")(x)
         return x + nn.Dense(self.dim, dtype=self.dtype, name="linear")(y)
 
@@ -65,6 +67,7 @@ class RSTBWithInputConv(nn.Module):
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     remat: bool = False
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -77,6 +80,7 @@ class RSTBWithInputConv(nn.Module):
         for i in range(self.num_blocks):
             x = RSTB(self.dim, self.depth, self.num_heads, self.window_size,
                      self.mlp_ratio, self.qkv_bias, remat=self.remat,
+                     fuse_block=self.fuse_block,
                      dtype=self.dtype, name=f"rstb{i:02d}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(x)
 
@@ -175,6 +179,7 @@ class RVRT(nn.Module):
     attention_window: Tuple[int, int] = (3, 3)
     nonblind_denoising: bool = False
     remat: bool = False
+    fuse_block: bool = False
     dtype: Optional[Any] = None
 
     # ---- shared submodule builders (identical names/args for the full
@@ -185,7 +190,8 @@ class RVRT(nn.Module):
             (1, self.window_size[1], self.window_size[2]),
             num_blocks=self.num_blocks[0], groups=self.inputconv_groups[0],
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-            remat=self.remat, dtype=self.dtype, name="feat_extract")
+            remat=self.remat, fuse_block=self.fuse_block, dtype=self.dtype,
+            name="feat_extract")
 
     def _deform(self, module: str):
         return GuidedDeformAttnPack(
@@ -201,7 +207,8 @@ class RVRT(nn.Module):
             self.window_size, num_blocks=self.num_blocks[1],
             groups=self.inputconv_groups[bi + 1],
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-            remat=self.remat, dtype=self.dtype, name=f"backbone_{module}")
+            remat=self.remat, fuse_block=self.fuse_block, dtype=self.dtype,
+            name=f"backbone_{module}")
 
     def _reconstruct(self, cat, lqs):
         """cat (B,D,H,W,5C) branch concat → HR (B,D,4H,4W,3) incl. the
@@ -211,7 +218,8 @@ class RVRT(nn.Module):
             (1, self.window_size[1], self.window_size[2]),
             num_blocks=self.num_blocks[2], groups=self.inputconv_groups[5],
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-            remat=self.remat, dtype=self.dtype, name="reconstruction")(cat)
+            remat=self.remat, fuse_block=self.fuse_block, dtype=self.dtype,
+            name="reconstruction")(cat)
         cbu = Conv(64, 1, padding=0, dtype=self.dtype, name="conv_before_upsampler")
         hr = _conv2d_frames(hr, lambda a: nn.leaky_relu(cbu(a), 0.1))
         for i in range(2):
@@ -271,7 +279,8 @@ class RVRT(nn.Module):
                 (1, self.window_size[1], self.window_size[2]),
                 num_blocks=self.num_blocks[0], groups=self.inputconv_groups[0],
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                remat=self.remat, dtype=self.dtype, name="feat_extract")(y)
+                remat=self.remat, fuse_block=self.fuse_block,
+                dtype=self.dtype, name="feat_extract")(y)
             lqs_ds = jax.vmap(lambda f: resize_bilinear(
                 f, (h // 4, w // 4)), in_axes=1, out_axes=1)(lqs[..., :3])
 

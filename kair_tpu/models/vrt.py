@@ -319,6 +319,25 @@ class TMSA(nn.Module):
                 and tuple(ws) == (2, 8, 8) and d % 2 == 0
                 and h % 8 == 0 and w % 8 == 0):
             return self._fused(x, ws, ss)
+        if self.fuse_block and not self.mut_attn and not self.geglu:
+            # RVRT STL blocks (network_rvrt.py:337-358): self-only attention
+            # + plain MLP == the SwinIR block on 3-D windows
+            if (tuple(ws) == (2, 8, 8) and d % 2 == 0 and h % 8 == 0
+                    and w % 8 == 0):
+                return self._fused_stl2(x, ws, ss)
+            if (ws[0] == 1 and tuple(ws[1:]) == (8, 8) and h % 8 == 0
+                    and w % 16 == 0):
+                return self._fused_stl1(x, ws, ss)
+        if self.fuse_block:
+            from kair_tpu.utils.logger import warn_once
+            warn_once(
+                f"tmsa-xla-fallback-{d}x{h}x{w}-{tuple(ws)}-"
+                f"{self.mut_attn}-{self.geglu}",
+                f"TMSA fuse_block=True fell back to the XLA path at "
+                f"D{d}xH{h}xW{w}, window {tuple(ws)}, mut_attn="
+                f"{self.mut_attn}, geglu={self.geglu} (slower): fused "
+                "kernels cover (2,8,8) mutual+GEGLU, (2,8,8) self-only, "
+                "and (1,8,8) self-only (W%16==0) geometries")
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -401,6 +420,76 @@ class TMSA(nn.Module):
         if shifted:
             y = jnp.roll(y, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
         return y
+
+    def _declare_stl_params(self, ws, c, n_tokens, dtype):
+        """Instantiate the standard-path submodules on dummies so the param
+        tree is identical to the XLA path, and return the flat tuple the
+        fused STL kernels consume."""
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        _ = norm1(jnp.zeros((1, c), dtype))
+        attn = WindowAttention3D(self.dim, ws, self.num_heads, self.qkv_bias,
+                                 False, dtype=self.dtype, name="attn")
+        _ = attn(jnp.zeros((1, 1, n_tokens, c), dtype))
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        _ = norm2(jnp.zeros((1, c), dtype))
+        hidden = int(c * self.mlp_ratio)
+        fc1 = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")
+        _ = fc1(jnp.zeros((1, c), dtype))
+        fc2 = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")
+        _ = fc2(jnp.zeros((1, hidden), dtype))
+        ap = attn.variables["params"]
+        flat = (ap["qkv_self_kernel"], ap.get("qkv_self_bias"),
+                ap["proj_kernel"], ap["proj_bias"],
+                norm1.variables["params"]["scale"],
+                norm1.variables["params"]["bias"],
+                norm2.variables["params"]["scale"],
+                norm2.variables["params"]["bias"],
+                fc1.variables["params"]["kernel"],
+                fc1.variables["params"]["bias"],
+                fc2.variables["params"]["kernel"],
+                fc2.variables["params"]["bias"])
+        return flat, ap["rel_bias_table"]
+
+    def _fused_stl2(self, x, ws, ss):
+        """Fused self-only (2,8,8) block (ops/pallas/stl_block.py)."""
+        from kair_tpu.ops.pallas.stl_block import (make_stl2_bias,
+                                                   stl2_block_pallas)
+        from kair_tpu.ops.pallas.tmsa_block import tmsa_mask_patterns
+        b, d, h, w, c = x.shape
+        flat, bias_table = self._declare_stl_params(ws, c, 128, x.dtype)
+        rel_idx = rel_position_index_3d(*ws)
+        shifted = any(s > 0 for s in ss)
+        pats = tmsa_mask_patterns(d, h, w, ws, ss) if shifted else None
+        bias = make_stl2_bias(bias_table, rel_idx, self.num_heads, pats)
+        x_in = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3)) \
+            if shifted else x
+        y = stl2_block_pallas(x_in, flat, self.num_heads, bias, shifted)
+        if shifted:
+            y = jnp.roll(y, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        return y
+
+    def _fused_stl1(self, x, ws, ss):
+        """Self-only (1,8,8) block: per-frame 2-D windows — routed onto the
+        SwinIR strip kernel with the 3-D bias table/index/mask."""
+        from kair_tpu.ops.pallas.swin_block import swin_block_pallas_2d
+        b, d, h, w, c = x.shape
+        flat, bias_table = self._declare_stl_params(ws, c, 64, x.dtype)
+        (qkv_k, qkv_b, proj_k, proj_b, ln1s, ln1b, ln2s, ln2b,
+         fc1k, fc1b, fc2k, fc2b) = flat
+        rel_idx = rel_position_index_3d(1, 8, 8)        # (64, 64)
+        shifted = ss[1] > 0 or ss[2] > 0
+        mask = jnp.asarray(compute_mask_3d(1, h, w, ws, (0, ss[1], ss[2]))) \
+            if shifted else None
+        x2 = x.reshape(b * d, h, w, c)
+        if shifted:
+            x2 = jnp.roll(x2, (-ss[1], -ss[2]), axis=(1, 2))
+        y = swin_block_pallas_2d(x2, qkv_k, qkv_b, proj_k, proj_b,
+                                 bias_table, rel_idx, self.num_heads,
+                                 ln1s, ln1b, ln2s, ln2b,
+                                 fc1k, fc1b, fc2k, fc2b, mask)
+        if shifted:
+            y = jnp.roll(y, (ss[1], ss[2]), axis=(1, 2))
+        return y.reshape(b, d, h, w, c)
 
 
 class TMSAPair(nn.Module):

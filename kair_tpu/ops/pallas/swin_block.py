@@ -48,12 +48,29 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu_fast(x):
+    """gelu(x) = 0.5·x·(1+erf(x/√2)) folded into one branch:
+    u = 0.5·x·P(t)·e^(−x²/2·…) with gelu = x−u for x≥0 and u for x<0 —
+    algebraically identical to 0.5·x·(1+_erf(x·2^-½)) but ~4 fewer VPU
+    passes (the GELU tax was 0.64 ms/block of the 3.9 ms measured on v5e)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    z = x * 0.7071067811865475
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + p * az)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    u = (0.5 * x) * (poly * jnp.exp(-az * az))
+    return jnp.where(x >= 0, x - u, u)
+
+
 def _block_body(x0, wqkv_ref, bqkv_ref,
                 wp_ref, bp_ref, bias_ref,
                 ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                 fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                 *, num_heads: int, scale: float,
-                g_blk: int, bias_mode: str, safe: bool = False):
+                g_blk: int, bias_mode: str, safe: bool = False,
+                bias_idx_fn=None):
     """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout.
 
     qkv runs as ONE (T, C)@(C, nh*96) matmul (pack_weights_fused layout,
@@ -91,6 +108,8 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
                 bias = bias_ref[0, h]
             elif bias_mode == "strip2":       # (1, g_blk, nh, 128, 128)
                 bias = bias_ref[0, g, h]
+            elif bias_mode == "select":       # (P, nh, 128, 128), runtime idx
+                bias = bias_ref[bias_idx_fn(g), h]
             else:                             # per_pair: (g_blk, nh, 128, 128)
                 bias = bias_ref[g, h]
             s = s + bias.astype(jnp.float32)
@@ -102,9 +121,16 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
             # checkpoints are bounded, f32 exp cannot overflow, and the
             # -1e9 pair mask maps to exp->0 exactly; saves 2 VPU passes
             e = jnp.exp(s)
-            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-            outs.append(jnp.dot(p.astype(dtype), v[g * 128:(g + 1) * 128],
-                                preferred_element_type=jnp.float32))
+            # softmax restructured for the VPU (measured 0.97 ms of the
+            # 3.9 ms block): the 128-lane row reduction becomes an MXU
+            # ones-matmul, and 1/sum scales the (128,32) PV OUTPUT rows
+            # instead of the (128,128) probability matrix
+            eb = e.astype(dtype)
+            rs = jnp.dot(eb, jnp.ones((128, 8), dtype),
+                         preferred_element_type=jnp.float32)[:, :1]
+            o = jnp.dot(eb, v[g * 128:(g + 1) * 128],
+                        preferred_element_type=jnp.float32)
+            outs.append(o * (1.0 / rs))
         return jnp.concatenate(outs, axis=0)
 
     acc = jnp.concatenate([head(h) for h in range(num_heads)],
@@ -114,7 +140,7 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
 
     h2 = layernorm(x1, ln2s_ref, ln2b_ref)
     hid = jnp.dot(h2, fc1w_ref[:], preferred_element_type=jnp.float32) + fc1b_ref[:]
-    hid = (hid * 0.5 * (1.0 + _erf(hid * 0.7071067811865475))).astype(dtype)
+    hid = _gelu_fast(hid).astype(dtype)
     mlp = jnp.dot(hid, fc2w_ref[:], preferred_element_type=jnp.float32) + fc2b_ref[:]
     return (x1 + mlp).astype(dtype)
 
