@@ -60,11 +60,12 @@ def test_face_alignment_roundtrip():
     assert ref.shape == (5, 2)
     # a synthetic face at a known similarity transform of the template
     pts = ref * 0.5 + np.array([40, 30])
-    face, tfm = warp_and_crop_face(img, pts, crop_size=(256, 256))
+    face, tfm_inv = warp_and_crop_face(img, pts, crop_size=(256, 256))
     assert face.shape == (256, 256, 3)
-    # warping template points by tfm recovers the reference points
-    hom = np.concatenate([pts, np.ones((5, 1))], axis=1)
-    mapped = hom @ tfm.T
-    np.testing.assert_allclose(mapped, ref, atol=1e-3)
-    back = paste_face_back(img.astype(np.float32), face.astype(np.float32), tfm)
+    # warping the reference points by tfm_inv recovers the source points
+    hom = np.concatenate([ref, np.ones((5, 1))], axis=1)
+    mapped = hom @ tfm_inv.T
+    np.testing.assert_allclose(mapped, pts, atol=1e-3)
+    back = paste_face_back(img.astype(np.float32), face.astype(np.float32),
+                           tfm_inv)
     assert back.shape == img.shape
