@@ -87,6 +87,17 @@ def main(json_path: Optional[str] = None, argv=None):
     lpips_repeat = ot.get("lpips_local_repeat_n") or 1
     best = {"psnr": -1.0, "ssim": -1.0}
 
+    # real LPIPS numbers the moment weights are present (see
+    # models/lpips_jax.load_lpips_default for where to drop them)
+    from kair_tpu.models.lpips_jax import load_lpips_default
+    _lp = load_lpips_default()
+    lpips_fn = _lp[2] if _lp else None
+    if _lp:
+        logger.info("LPIPS weights found - global/local LPIPS enabled")
+    else:
+        logger.info("LPIPS weights absent (KAIR_LPIPS_DIR / model_zoo/lpips)"
+                    " - LPIPS metrics reported as nan")
+
     def run_evals(state):
         all_metrics = {}
         for name, (ds_opt, loader) in val_loaders.items():
@@ -95,7 +106,7 @@ def main(json_path: Optional[str] = None, argv=None):
                 fn = lambda batch: eval_step(state, {
                     k: v for k, v in batch.items() if isinstance(v, np.ndarray)})
                 m = evaluate_model(fn, loader, ds_opt.get("normalization"),
-                                   lpips_fn=None,
+                                   lpips_fn=lpips_fn,
                                    add_poisson_noise=poisson,
                                    lpips_local_repeat_n=lpips_repeat)
                 tag = f"{name}{'_poisson' if poisson else ''}"

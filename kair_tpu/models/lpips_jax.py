@@ -56,8 +56,10 @@ class LPIPSAlex(nn.Module):
         feats1 = f((x1 - shift) / scale)
         total = 0.0
         for i, (a, b) in enumerate(zip(feats0, feats1)):
-            a = a * jax.lax.rsqrt(jnp.sum(a ** 2, -1, keepdims=True) + 1e-10)
-            b = b * jax.lax.rsqrt(jnp.sum(b ** 2, -1, keepdims=True) + 1e-10)
+            # lpips normalize_tensor: x / (sqrt(sum x²) + 1e-10) — match
+            # its eps placement exactly for converted-weight parity
+            a = a / (jnp.sqrt(jnp.sum(a ** 2, -1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b ** 2, -1, keepdims=True)) + 1e-10)
             diff = (a - b) ** 2
             w = self.param(f"lin{i}", nn.initializers.ones,
                            (diff.shape[-1], 1))
@@ -103,3 +105,52 @@ def load_lpips(alexnet_path: Optional[str] = None,
     variables = convert_lpips_alex(load_torch_state_dict(alexnet_path),
                                    load_torch_state_dict(lpips_path))
     return model, variables
+
+
+def make_lpips_fn(model, variables):
+    """`calculate_lpips`-equivalent callable (reference
+    utils_image.py:784-827): fn(img1, img2, border=0) on uint8/float RGB
+    [0,255] images (HWC; grayscale HW1/HW replicated to 3 channels)."""
+    import functools
+
+    apply_jit = jax.jit(lambda a, b: model.apply(variables, a, b))
+
+    def fn(img1: np.ndarray, img2: np.ndarray, border: int = 0) -> float:
+        if img1.shape != img2.shape:
+            raise ValueError("Input images must have the same dimensions.")
+        h, w = img1.shape[:2]
+        img1 = img1[border:h - border or None, border:w - border or None]
+        img2 = img2[border:h - border or None, border:w - border or None]
+
+        def prep(im):
+            im = im.astype(np.float32) / 255.0
+            if im.ndim == 2:
+                im = im[:, :, None]
+            if im.shape[-1] == 1:
+                im = np.repeat(im, 3, axis=-1)
+            return jnp.asarray(im[None] * 2.0 - 1.0)
+
+        return float(apply_jit(prep(img1), prep(img2))[0])
+
+    return fn
+
+
+def load_lpips_default(weights_dir: Optional[str] = None):
+    """(model, variables, lpips_fn) from the conventional weights location,
+    or None when absent (zero-egress environments).
+
+    Drop the two files in ``$KAIR_LPIPS_DIR`` (default
+    ``<cwd>/model_zoo/lpips/``):
+      alexnet.pth  — torchvision AlexNet IMAGENET1K_V1 state dict
+      alex.pth     — the `lpips` package's v0.1 alex linear heads
+    and every harness/CLI LPIPS metric starts producing real numbers."""
+    import os
+
+    d = weights_dir or os.environ.get("KAIR_LPIPS_DIR") \
+        or os.path.join(os.getcwd(), "model_zoo", "lpips")
+    alex_path = os.path.join(d, "alexnet.pth")
+    lin_path = os.path.join(d, "alex.pth")
+    if not (os.path.exists(alex_path) and os.path.exists(lin_path)):
+        return None
+    model, variables = load_lpips(alex_path, lin_path)
+    return model, variables, make_lpips_fn(model, variables)

@@ -133,3 +133,104 @@ def test_lpips_architecture():
     assert float(d[0]) == 0.0  # identical inputs → zero distance
     with pytest.raises(FileNotFoundError):
         load_lpips(None, None)
+
+
+def test_lpips_converter_torch_oracle(tmp_path):
+    """convert_lpips_alex + LPIPSAlex vs a hand-built torch mirror of the
+    lpips alex forward on SYNTHESIZED weights (the published checkpoints
+    aren't fetchable here; this validates the converter + architecture so
+    real weights work the moment they're dropped in model_zoo/lpips —
+    reference utils_image.py:784-827)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    convs = [(3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+             (384, 256, 3, 1, 1), (256, 256, 3, 1, 1)]
+    feat_idx = [0, 3, 6, 8, 10]
+    alex_sd = {}
+    for (ci, co, k, s, p), t in zip(convs, feat_idx):
+        alex_sd[f"features.{t}.weight"] = torch.tensor(
+            rng.randn(co, ci, k, k).astype(np.float32) * 0.05)
+        alex_sd[f"features.{t}.bias"] = torch.tensor(
+            rng.randn(co).astype(np.float32) * 0.05)
+    lin_sd = {f"lin{i}.model.1.weight": torch.tensor(
+        np.abs(rng.randn(1, convs[i][1], 1, 1)).astype(np.float32))
+        for i in range(5)}
+    ap, lp = str(tmp_path / "alexnet.pth"), str(tmp_path / "alex.pth")
+    torch.save(alex_sd, ap)
+    torch.save(lin_sd, lp)
+
+    # torch oracle: the lpips alex forward
+    def torch_lpips(x0, x1):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(x):
+            x = (x - shift) / scale
+            outs = []
+            for i, ((ci, co, k, s, p), t) in enumerate(zip(convs, feat_idx)):
+                x = F.conv2d(x, alex_sd[f"features.{t}.weight"],
+                             alex_sd[f"features.{t}.bias"], stride=s,
+                             padding=p)
+                x = F.relu(x)
+                outs.append(x)
+                if i in (0, 1):
+                    x = F.max_pool2d(x, 3, 2)
+            return outs
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(feats(x0), feats(x1))):
+            a = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            b = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = F.conv2d((a - b) ** 2, lin_sd[f"lin{i}.model.1.weight"])
+            total = total + d.mean(dim=(2, 3))
+        return float(total[0, 0])
+
+    from kair_tpu.models.lpips_jax import load_lpips, make_lpips_fn
+
+    model, variables = load_lpips(ap, lp)
+    fn = make_lpips_fn(model, variables)
+
+    img1 = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    img2 = np.clip(img1.astype(np.float32)
+                   + rng.randn(64, 64, 3) * 20, 0, 255).astype(np.uint8)
+    with torch.no_grad():
+        t0 = torch.tensor(img1.astype(np.float32).transpose(2, 0, 1) / 255.0
+                          )[None] * 2 - 1
+        t1 = torch.tensor(img2.astype(np.float32).transpose(2, 0, 1) / 255.0
+                          )[None] * 2 - 1
+        want = torch_lpips(t0, t1)
+    got = fn(img1, img2)
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+    assert fn(img1, img1) < 1e-6
+
+
+def test_lpips_real_weights_parity():
+    """Real-checkpoint LPIPS parity vs the `lpips` package — auto-skipped
+    here (zero egress); runs in any weights-present environment with
+    KAIR_LPIPS_DIR set and `pip install lpips`."""
+    import os
+    from kair_tpu.models.lpips_jax import load_lpips_default
+
+    lp = load_lpips_default()
+    if lp is None:
+        pytest.skip("LPIPS weights not present (KAIR_LPIPS_DIR)")
+    try:
+        import lpips as lpips_pkg
+    except ImportError:
+        pytest.skip("lpips package not installed")
+    import numpy as np
+    import torch
+
+    model, variables, fn = lp
+    loss = lpips_pkg.LPIPS(net="alex")
+    rng = np.random.RandomState(3)
+    img1 = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+    img2 = np.clip(img1 + rng.randn(96, 96, 3) * 12, 0, 255).astype(np.uint8)
+    t = lambda im: torch.tensor(
+        im.astype(np.float32).transpose(2, 0, 1) / 255.0)[None] * 2 - 1
+    with torch.no_grad():
+        want = float(loss(t(img1), t(img2)))
+    assert abs(fn(img1, img2) - want) < 1e-3
