@@ -129,3 +129,41 @@ def test_video_ensembled(fn: Callable, lq: np.ndarray, sf: int,
     if center_frame_only:
         E = E[:, n // 2]
     return E
+
+
+def clamped_window_starts(extent: int, tile: int, halo: int):
+    """Per-tile clamped window starts of the grid-sharded tiling: tile i
+    processes [start, start+band) with band = min(tile+2*halo, extent) and
+    start = clip(i*tile - halo, 0, extent - band) — every window lies fully
+    inside the image (the reference's quadrant-split rule that tiles
+    include the true border, utils_model.py:127-151)."""
+    n = extent // tile
+    band = min(tile + 2 * halo, extent)
+    return [min(max(i * tile - halo, 0), extent - band) for i in range(n)], band
+
+
+def test_clip_grid(fn: Callable, lq: np.ndarray, sf: int,
+                   tile: Tuple[int, int], halo: int) -> np.ndarray:
+    """Host-loop twin of parallel.tiled.make_grid_sharded_video_fn: same
+    clamped windows, each tile keeps its own region — the single-device
+    reference for the mesh-sharded video tiling (asserted equal in
+    tests/test_parallel.py). lq: (B, D, H, W, C)."""
+    b, d, h, w, c = lq.shape
+    th, tw = tile
+    assert h % th == 0 and w % tw == 0
+    hstarts, band_h = clamped_window_starts(h, th, halo)
+    wstarts, band_w = clamped_window_starts(w, tw, halo)
+    out = None
+    for i, sh in enumerate(hstarts):
+        for j, sw in enumerate(wstarts):
+            win = lq[:, :, sh:sh + band_h, sw:sw + band_w, :]
+            y = np.asarray(fn(win)).astype(np.float32)
+            if out is None:
+                out = np.zeros((b, d, h * sf, w * sf, y.shape[-1]),
+                               np.float32)
+            oh = (i * th - sh) * sf
+            ow = (j * tw - sw) * sf
+            out[:, :, i * th * sf:(i + 1) * th * sf,
+                j * tw * sf:(j + 1) * tw * sf, :] = \
+                y[:, :, oh:oh + th * sf, ow:ow + tw * sf, :]
+    return out

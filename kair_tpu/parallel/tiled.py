@@ -156,3 +156,63 @@ def make_sharded_tiled_fn(fn: Callable, mesh: Mesh, halo: int, sf: int = 1,
                         out_specs=P(None, axis, None, None),
                         check_rep=False)
     return jax.jit(sharded)
+
+
+def make_grid_sharded_video_fn(fn: Callable, mesh: Mesh, halo: int,
+                               sf: int = 1,
+                               axes: Tuple[str, str] = ("tileh", "tilew")
+                               ) -> Callable:
+    """2-D tile-grid sharded VIDEO forward with a NON-replicated input —
+    make_grid_sharded_fn lifted to (B, D, H, W, C) clips (the reference's
+    host patch loop, model_vrt.py:158-223, whose per-patch `.cpu()` copies
+    this replaces; SURVEY.md §5.7).
+
+    Each device holds its (H/th, W/tw) spatial tile of every frame,
+    ppermute-gathers 2*halo rows/cols, runs the FULL video net on its
+    clamped (tile+2*halo)² window, and keeps its own region. Identical
+    patch geometry to `eval.video_test.clamped_window_starts` — the
+    host-loop equivalence is asserted in tests/test_parallel.py.
+
+    Caveat (same as the reference's spatial tiling): nets that compute
+    optical flow internally (VRT/RVRT SpyNet) see per-window flows, so
+    tile size trades throughput against flow quality exactly as
+    `size_patch_testing` does in the reference."""
+    th, tw = mesh.shape[axes[0]], mesh.shape[axes[1]]
+
+    def tile_fn(x):
+        # x: this device's tile (B, D, hs, ws, C)
+        b, d, hs, ws, c = x.shape
+        h_total, w_total = hs * th, ws * tw
+        assert 2 * halo <= hs and 2 * halo <= ws, \
+            "2*halo must fit one neighbour tile (single-hop exchange)"
+        ext = _extend_dim(x, 2 * halo, axes[0], 2)
+        ext = _extend_dim(ext, 2 * halo, axes[1], 3)
+
+        ih = jax.lax.axis_index(axes[0])
+        iw = jax.lax.axis_index(axes[1])
+        band_h = min(hs + 2 * halo, h_total)
+        band_w = min(ws + 2 * halo, w_total)
+        start_h = jnp.clip(ih * hs - halo, 0, h_total - band_h)
+        start_w = jnp.clip(iw * ws - halo, 0, w_total - band_w)
+        off_h = start_h - (ih * hs - 2 * halo)
+        off_w = start_w - (iw * ws - 2 * halo)
+        window = jax.lax.dynamic_slice(
+            ext, (0, 0, off_h, off_w, 0), (b, d, band_h, band_w, c))
+
+        y = fn(window)
+        return jax.lax.dynamic_slice(
+            y, (0, 0, (ih * hs - start_h) * sf, (iw * ws - start_w) * sf, 0),
+            (y.shape[0], y.shape[1], hs * sf, ws * sf, y.shape[4]))
+
+    spec = P(None, None, axes[0], axes[1], None)
+    sharded = shard_map(tile_fn, mesh=mesh, in_specs=(spec,),
+                        out_specs=spec, check_rep=False)
+    return jax.jit(sharded)
+
+
+def video_grid_sharding(mesh: Mesh,
+                        axes: Tuple[str, str] = ("tileh", "tilew")):
+    """NamedSharding for (B,D,H,W,C) inputs of make_grid_sharded_video_fn."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P(None, None, axes[0], axes[1], None))
