@@ -124,6 +124,7 @@ def define_g(opt: dict, dtype: Optional[Any] = None):
                    deformable_groups=_get(o, "deformable_groups", 16),
                    nonblind_denoising=bool(_get(o, "nonblind_denoising", False)),
                    remat=bool(_get(o, "use_checkpoint_attn", False)),
+                   fuse_block=bool(_get(o, "fuse_block", False)),
                    dtype=dtype)
     if t == "rvrt":
         from kair_tpu.models.rvrt import RVRT
@@ -140,6 +141,7 @@ def define_g(opt: dict, dtype: Optional[Any] = None):
                     attention_window=tuple(_get(o, "attention_window", [3, 3])),
                     nonblind_denoising=bool(_get(o, "nonblind_denoising", False)),
                     remat=bool(_get(o, "use_checkpoint_attn", False)),
+                    fuse_block=bool(_get(o, "fuse_block", False)),
                     dtype=dtype)
     if t == "spynet":
         from kair_tpu.models.spynet import SpyNet
