@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG, make_pair_bias,
-                                            pack_weights, pack_weights_fused)
+                                            pack_qkv_fused,
+                                            pack_weights_fused)
 
 
 def _erf(x):
@@ -200,19 +201,22 @@ def _gelu_grad(pre):
 
 
 def _kernel_2d_bwd(x_ref, dy_ref,
-                   wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                   wqkv_ref, bqkv_ref,
                    wp_ref, bp_ref, bias_ref,
                    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                    fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
-                   dx_ref, dwq_ref, dwk_ref, dwv_ref,
-                   dbq_ref, dbk_ref, dbv_ref, dwp_ref, dbp_ref, dbias_ref,
+                   dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, dbias_ref,
                    dln1s_ref, dln1b_ref, dln2s_ref, dln2b_ref,
                    dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
                    *, num_heads: int, scale: float, pairs_per_block: int,
                    bias_mode: str, nr: int):
-    """Fused backward for one strip: recompute the forward in VMEM, then
-    chain rule. Parameter grads accumulate across the (sequential) grid
-    into constant-index output blocks; dbias accumulates per mask pattern."""
+    """Fused backward for one strip: recompute the forward ONCE in VMEM
+    (one-matmul qkv, all heads' probabilities kept resident), then chain
+    rule with the weight grads batched into two big contractions
+    (dwqkv = hᵀ·dqkv, dh = dqkv·wqkvᵀ) instead of 4·nh (C,32) matmuls —
+    the N=32 underfill that made the round-2 backward only 1.34× XLA.
+    Parameter grads accumulate across the (sequential) grid into
+    constant-index output blocks; dbias accumulates per mask pattern."""
     g_blk = pairs_per_block
     c = x_ref.shape[-1]
     w = x_ref.shape[2]
@@ -223,9 +227,9 @@ def _kernel_2d_bwd(x_ref, dy_ref,
     # init accumulators on first visit of each output block
     @pl.when(i == 0)
     def _init():
-        for r in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
-                  dwp_ref, dbp_ref, dln1s_ref, dln1b_ref, dln2s_ref,
-                  dln2b_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref):
+        for r in (dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, dln1s_ref,
+                  dln1b_ref, dln2s_ref, dln2b_ref, dfc1w_ref, dfc1b_ref,
+                  dfc2w_ref, dfc2b_ref):
             r[...] = jnp.zeros_like(r)
 
     # dbias is a constant-index block covering all patterns (switching
@@ -258,16 +262,19 @@ def _kernel_2d_bwd(x_ref, dy_ref,
         m2 = jnp.mean(dz * xhat, axis=-1, keepdims=True)
         return inv * (dz - m1 - xhat * m2)
 
-    # ---- forward recompute (pass 1: keep only per-head outputs) --------
+    # ---- forward recompute (single pass; q/k/v/p stay resident) --------
     xhat1, inv1, h = ln_fwd(x0, ln1s_ref, ln1b_ref)
+    qkv = (jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+           + bqkv_ref[:]).astype(dtype)                  # (T, nh*96)
 
-    def head_fwd(hd_i):
-        q = ((jnp.dot(h, wq_ref[hd_i], preferred_element_type=jnp.float32)
-              + bq_ref[hd_i]) * scale).astype(dtype)
-        k = (jnp.dot(h, wk_ref[hd_i], preferred_element_type=jnp.float32)
-             + bk_ref[hd_i]).astype(dtype)
-        v = (jnp.dot(h, wv_ref[hd_i], preferred_element_type=jnp.float32)
-             + bv_ref[hd_i]).astype(dtype)
+    qs, ks, vs, ps, o_cols = [], [], [], [], []
+    for hd_i in range(num_heads):
+        base = hd_i * 3 * _HD_PAD
+        q = (qkv[:, base:base + _HD_PAD].astype(jnp.float32)
+             * scale).astype(dtype)
+        k = qkv[:, base + _HD_PAD:base + 2 * _HD_PAD]
+        v = qkv[:, base + 2 * _HD_PAD:base + 3 * _HD_PAD]
+        qs.append(q); ks.append(k); vs.append(v)
         p_gs, o_gs = [], []
         for g in range(g_blk):
             qg, kg = q[g * 128:(g + 1) * 128], k[g * 128:(g + 1) * 128]
@@ -286,17 +293,17 @@ def _kernel_2d_bwd(x_ref, dy_ref,
             p_gs.append(pg)
             o_gs.append(jnp.dot(pg.astype(dtype), v[g * 128:(g + 1) * 128],
                                 preferred_element_type=jnp.float32))
-        return q, k, v, p_gs, jnp.concatenate(o_gs, axis=0)
+        ps.append(p_gs)
+        o_cols.append(jnp.concatenate(o_gs, axis=0))
 
-    acc = jnp.concatenate([head_fwd(hd_i)[4] for hd_i in range(num_heads)],
-                          axis=-1).astype(dtype)   # (T, nh*32)
+    acc = jnp.concatenate(o_cols, axis=-1).astype(dtype)   # (T, nh*32)
     attn = jnp.dot(acc, wp_ref[:], preferred_element_type=jnp.float32) \
         + bp_ref[:]
     x1 = x0.astype(jnp.float32) + attn
     xhat2, inv2, h2 = ln_fwd(x1, ln2s_ref, ln2b_ref)
     pre = jnp.dot(h2, fc1w_ref[:], preferred_element_type=jnp.float32) \
         + fc1b_ref[:]
-    hid = (pre * 0.5 * (1.0 + _erf(pre * 0.7071067811865475))).astype(dtype)
+    hid = _gelu_fast(pre).astype(dtype)
 
     # ---- backward ----------------------------------------------------------
     # y = x1 + fc2(gelu(fc1(LN2(x1))))
@@ -326,22 +333,31 @@ def _kernel_2d_bwd(x_ref, dy_ref,
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
-    # pass 2: recompute each head and backprop it (one head live at a time)
-    dh = jnp.zeros((t, c), jnp.float32)
+    # attention backward per head (forward state already resident); dq/dk/dv
+    # pieces collect into ONE packed (T, nh*96) array so the weight/input
+    # grads are two full-width contractions
+    ones8 = jnp.ones((128, 8), dtype)
+    dqkv_cols = []
     for hd_i in range(num_heads):
-        q, k, v, p_gs, _ = head_fwd(hd_i)
+        q, k, v, p_gs = qs[hd_i], ks[hd_i], vs[hd_i], ps[hd_i]
         do = dacc[:, hd_i * _HD_PAD:(hd_i + 1) * _HD_PAD].astype(dtype)
         dq_list, dk_list, dv_list = [], [], []
         for g in range(g_blk):
             sl = slice(g * 128, (g + 1) * 128)
             p = p_gs[g]
+            pd = p.astype(dtype)
             dog = do[sl]
             dv_list.append(jax.lax.dot_general(
-                p.astype(dtype), dog, (((0,), (0,)), ((), ())),
+                pd, dog, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
             dp = jax.lax.dot_general(dog, v[sl], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            # row reduction via MXU ones-matmul (a 128-lane VPU reduction
+            # otherwise dominates the softmax backward)
+            dpp = (dp * p).astype(dtype)
+            rs = jnp.dot(dpp, ones8,
+                         preferred_element_type=jnp.float32)[:, :1]
+            ds = p * dp - p * rs
             if bias_mode == "const":
                 dbias_ref[0, hd_i] += ds
             else:
@@ -359,21 +375,17 @@ def _kernel_2d_bwd(x_ref, dy_ref,
             dk_list.append(jax.lax.dot_general(
                 dsd, q[sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        dq = jnp.concatenate(dq_list, axis=0)          # (T, 32) f32
-        dk = jnp.concatenate(dk_list, axis=0)
-        dv = jnp.concatenate(dv_list, axis=0)
-        for d_, w_ref, dw_ref, db_ref in (
-                (dq, wq_ref, dwq_ref, dbq_ref),
-                (dk, wk_ref, dwk_ref, dbk_ref),
-                (dv, wv_ref, dwv_ref, dbv_ref)):
-            db_ref[hd_i] += jnp.sum(d_, axis=0)
-            dd = d_.astype(dtype)
-            dw_ref[hd_i] += jax.lax.dot_general(
-                h, dd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dh = dh + jax.lax.dot_general(
-                dd, w_ref[hd_i], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        dqkv_cols.append(jnp.concatenate(dq_list, axis=0).astype(dtype))
+        dqkv_cols.append(jnp.concatenate(dk_list, axis=0).astype(dtype))
+        dqkv_cols.append(jnp.concatenate(dv_list, axis=0).astype(dtype))
+
+    dqkv = jnp.concatenate(dqkv_cols, axis=-1)            # (T, nh*96) bf16
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        h, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
 
     dx0 = dx1 + ln_bwd(dh, xhat1, inv1, ln1s_ref, dln1s_ref, dln1b_ref)
     dx4 = dx0.astype(dtype).reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
@@ -499,9 +511,12 @@ def _fused_2d_bwd_pallas(meta, res, g):
     nh = num_heads
     bias_mode = "const" if bias_is_constant else "strip2"
 
-    wq, wk, wv, bq, bk, bv, wp = pack_weights(qkv_kernel, qkv_bias,
-                                              proj_kernel, num_heads)
-    wq, wk, wv, wp = (wt.astype(x.dtype) for wt in (wq, wk, wv, wp))
+    # UNSCALED fused layout (scale applied to the q activations in-kernel,
+    # so dwqkv unpacks directly into the raw qkv_kernel grad)
+    wqkv, bqkv = pack_qkv_fused(qkv_kernel, qkv_bias, num_heads, 1.0)
+    _, _, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
+                                  num_heads, 1.0)
+    wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     strip_spec = pl.BlockSpec(
         (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
@@ -525,12 +540,8 @@ def _fused_2d_bwd_pallas(meta, res, g):
     f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((b, h, w, c), x.dtype),          # dx
-        jax.ShapeDtypeStruct((nh, c, _HD_PAD), f32),          # dwq
-        jax.ShapeDtypeStruct((nh, c, _HD_PAD), f32),          # dwk
-        jax.ShapeDtypeStruct((nh, c, _HD_PAD), f32),          # dwv
-        jax.ShapeDtypeStruct((nh, _HD_PAD), f32),             # dbq
-        jax.ShapeDtypeStruct((nh, _HD_PAD), f32),             # dbk
-        jax.ShapeDtypeStruct((nh, _HD_PAD), f32),             # dbv
+        jax.ShapeDtypeStruct((c, nh * 3 * _HD_PAD), f32),     # dwqkv
+        jax.ShapeDtypeStruct((nh * 3 * _HD_PAD,), f32),       # dbqkv
         jax.ShapeDtypeStruct((nh * _HD_PAD, c), f32),         # dwp
         jax.ShapeDtypeStruct((c,), f32),                      # dbp
         jax.ShapeDtypeStruct(pair_bias.shape, f32),           # dbias
@@ -554,35 +565,33 @@ def _fused_2d_bwd_pallas(meta, res, g):
         kernel,
         grid=(b * nr,),
         in_specs=[strip_spec, strip_spec,
-                  vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-                  vmem(), vmem(), bias_in_spec,
+                  vmem(), vmem(), vmem(), vmem(), bias_in_spec,
                   vmem(), vmem(), vmem(), vmem(),
                   vmem(), vmem(), vmem(), vmem()],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x, g.astype(x.dtype), wq, wk, wv, bq, bk, bv, wp,
+    )(x, g.astype(x.dtype), wqkv, bqkv.astype(f32), wp,
       proj_bias.astype(f32),
       pair_bias.astype(f32 if bias_mode == "const" else jnp.bfloat16),
       ln1s.astype(f32), ln1b.astype(f32), ln2s.astype(f32), ln2b.astype(f32),
       fc1k.astype(x.dtype), fc1b.astype(f32),
       fc2k.astype(x.dtype), fc2b.astype(f32))
 
-    (dx, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp, dbias,
+    (dx, dwqkv, dbqkv, dwp, dbp, dbias,
      dln1s, dln1b, dln2s, dln2b, dfc1w, dfc1b, dfc2w, dfc2b) = res_out
 
-    def unpack_w(dw):                       # (nh, c, 32) → (c, c)
-        return dw[:, :, :hd].transpose(1, 0, 2).reshape(c, c)
-
+    # unpack the fused (C, nh*[q|k|v]*32) grad back to (C, 3C)
+    dw5 = dwqkv.reshape(c, nh, 3, _HD_PAD)[:, :, :, :hd]    # (c, nh, 3, hd)
     dqkv_kernel = jnp.concatenate(
-        [unpack_w(dwq), unpack_w(dwk), unpack_w(dwv)],
+        [dw5[:, :, j].reshape(c, c) for j in range(3)],
         axis=1).astype(qkv_kernel.dtype)
     if qkv_bias is None:
         dqkv_bias = None
     else:
+        db5 = dbqkv.reshape(nh, 3, _HD_PAD)[:, :, :hd]
         dqkv_bias = jnp.concatenate(
-            [dbq[:, :hd].reshape(-1), dbk[:, :hd].reshape(-1),
-             dbv[:, :hd].reshape(-1)]).astype(qkv_bias.dtype)
+            [db5[:, j].reshape(-1) for j in range(3)]).astype(qkv_bias.dtype)
     dproj_kernel = dwp.reshape(nh, _HD_PAD, c)[:, :hd].reshape(
         c, c).astype(proj_kernel.dtype)
 
