@@ -704,3 +704,80 @@ def convert_gpen(sd: Dict[str, np.ndarray], size: int = 512,
         g[f"to_rgbs{j}"] = _gpen_torgb(sd, f"generator.to_rgbs.{j}")
     params["generator"] = g
     return {"params": params}
+
+
+# ----------------------------------------------------------------------------
+# RetinaFace-R50 (reference: retinaface/facemodels/retinaface.py; checkpoint
+# RetinaFace-R50.pth — torchvision resnet50 trunk under `body.`)
+# ----------------------------------------------------------------------------
+
+def convert_retinaface(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """RetinaFace-R50.pth → kair_tpu.models.retinaface.RetinaFace variables.
+
+    Key schema (facemodels/retinaface.py:72-87 + net.py conv_bn Sequential
+    indices): body.conv1/bn1/layer{1-4}.{i}.conv{1-3}+bn{1-3}(+downsample),
+    fpn.output{1-3}/merge{1-2} as (conv=.0, bn=.1), ssh{1-3}.conv*X*_*
+    likewise, and {Class,Bbox,Landmark}Head.{i}.conv1x1.
+
+    The released checkpoint isn't fetchable in this environment; the
+    structural parity test synthesises a state dict with this exact schema
+    (tests/test_retinaface.py) so real weights work when dropped in."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def convbn(dst, tname, conv_idx="0", bn_idx="1"):
+        p, s = bn_params(sd, f"{tname}.{bn_idx}")
+        params[dst] = {"conv": {"kernel": t_conv(sd[f"{tname}.{conv_idx}.weight"])},
+                       "bn": p}
+        stats[dst] = {"bn": s}
+
+    # ResNet50 trunk
+    body_p: Dict[str, Any] = {"conv1": {"kernel": t_conv(sd["body.conv1.weight"])}}
+    body_s: Dict[str, Any] = {}
+    p, s = bn_params(sd, "body.bn1")
+    body_p["bn1"], body_s["bn1"] = p, s
+    for li, blocks in enumerate([3, 4, 6, 3]):
+        for bi in range(blocks):
+            t = f"body.layer{li + 1}.{bi}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            for ci in range(1, 4):
+                bp, bs = bn_params(sd, f"{t}.bn{ci}")
+                blk_p[f"c{ci}"] = {"conv": {"kernel": t_conv(sd[f"{t}.conv{ci}.weight"])},
+                                   "bn": bp}
+                blk_s[f"c{ci}"] = {"bn": bs}
+            if f"{t}.downsample.0.weight" in sd:
+                dp, ds = bn_params(sd, f"{t}.downsample.1")
+                blk_p["down"] = {"conv": {"kernel": t_conv(sd[f"{t}.downsample.0.weight"])},
+                                 "bn": dp}
+                blk_s["down"] = {"bn": ds}
+            body_p[f"layer{li + 1}_b{bi}"] = blk_p
+            body_s[f"layer{li + 1}_b{bi}"] = blk_s
+    params["body"], stats["body"] = body_p, body_s
+
+    for dst, t in [("output1", "fpn.output1"), ("output2", "fpn.output2"),
+                   ("output3", "fpn.output3"), ("merge1", "fpn.merge1"),
+                   ("merge2", "fpn.merge2")]:
+        pp, ss = bn_params(sd, f"{t}.1")
+        params.setdefault("fpn", {})[dst] = {
+            "conv": {"kernel": t_conv(sd[f"{t}.0.weight"])}, "bn": pp}
+        stats.setdefault("fpn", {})[dst] = {"bn": ss}
+
+    for i in (1, 2, 3):
+        for leaf in ("conv3X3", "conv5X5_1", "conv5X5_2", "conv7X7_2",
+                     "conv7x7_3"):
+            t = f"ssh{i}.{leaf}"
+            pp, ss = bn_params(sd, f"{t}.1")
+            params.setdefault(f"ssh{i}", {})[leaf] = {
+                "conv": {"kernel": t_conv(sd[f"{t}.0.weight"])}, "bn": pp}
+            stats.setdefault(f"ssh{i}", {})[leaf] = {"bn": ss}
+
+    for i in range(3):
+        for head, dst in [("BboxHead", f"bbox{i}"), ("ClassHead", f"class{i}"),
+                          ("LandmarkHead", f"ldm{i}")]:
+            t = f"{head}.{i}.conv1x1"
+            params[dst] = {"kernel": t_conv(sd[f"{t}.weight"]),
+                           "bias": sd[f"{t}.bias"]}
+
+    return {"params": params, "batch_stats": stats}

@@ -28,7 +28,7 @@ def make_blend_mask(size: int = 512) -> np.ndarray:
 
     mask = np.zeros((size, size), np.float32)
     a = int(round(26 * size / 512))
-    b = size - 1 - a
+    b = size - a                     # 486 at size 512, as the reference
     cv2.rectangle(mask, (a, a), (b, b), (1, 1, 1), -1, cv2.LINE_AA)
     mask = cv2.GaussianBlur(mask, (101, 101), 11)
     mask = cv2.GaussianBlur(mask, (101, 101), 11)

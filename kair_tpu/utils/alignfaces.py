@@ -41,9 +41,9 @@ def get_reference_facial_points(output_size=(256, 256),
         tmp += size_diff[None, :] / 2
         tmp_size += np.round(size_diff)
     size_bf_outer = np.array(output_size) - np.array(outer_padding) * 2
-    # float32 division — bit-exact with the reference (:163), whose ±1e-5
-    # wobble otherwise shifts warpAffine rounding by one LSB
-    scale = np.float32(size_bf_outer[0]) / np.float32(tmp_size[0])
+    # the reference computes float32(out)/int — a float64 result whose
+    # numerator cast is lossless for the usual power-of-two sizes (:163)
+    scale = np.float64(np.float32(size_bf_outer[0])) / np.float64(tmp_size[0])
     tmp = tmp * scale + np.array(outer_padding, np.float64)
     return tmp          # float64, like the reference (cast at the warp)
 
@@ -109,13 +109,14 @@ def warp_and_crop_face(src_img: np.ndarray, facial_pts: np.ndarray,
 
     if reference_pts is None:
         reference_pts = get_reference_facial_points(crop_size)
-    # float32 casts before the transform fit — bit-exact with the
-    # reference (:226,235), whose LSB differences otherwise shift
-    # warpAffine rounding
-    pts = np.float32(facial_pts).astype(np.float64)
+    # float32 casts before the transform fit, and the fit itself runs in
+    # float32 (the reference passes float32 into _umeyama uncast,
+    # :226,235,256-259) — float64 here shifts warpAffine rounding by one
+    # LSB on a handful of pixels
+    pts = np.float32(facial_pts)
     if pts.shape[0] == 2:           # (2, K) [xs; ys] → (K, 2) (reference
         pts = pts.T                 # warp_and_crop_face :241-243)
-    ref = np.float32(reference_pts).astype(np.float64)
+    ref = np.float32(reference_pts)
     if ref.shape[0] == 2:
         ref = ref.T
     tfm = umeyama(pts, ref)[:2]

@@ -69,3 +69,81 @@ def test_face_alignment_roundtrip():
     back = paste_face_back(img.astype(np.float32), face.astype(np.float32),
                            tfm_inv)
     assert back.shape == img.shape
+
+
+def test_retinaface_converter_structural():
+    """convert_retinaface on a SYNTHESISED RetinaFace-R50 state dict (the
+    exact torch key schema, facemodels/retinaface.py:72-87): the converted
+    tree must match the flax model's own init structure and shapes, and
+    the model must run — so the real checkpoint works the moment it is
+    present (zero-egress here)."""
+    import jax
+    import jax.numpy as jnp
+    from kair_tpu.ckpt.torch_convert import convert_retinaface
+    from kair_tpu.models.retinaface import RetinaFace
+
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def w(*shape):
+        # tame magnitudes: 50 random layers otherwise overflow f32
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    def add_convbn(name, cin, cout, k):
+        sd[f"{name}.0.weight"] = w(cout, cin, k, k)
+        sd[f"{name}.1.weight"] = (1 + 0.1 * rng.randn(cout)).astype(np.float32)
+        sd[f"{name}.1.bias"] = w(cout)
+        sd[f"{name}.1.running_mean"] = w(cout)
+        sd[f"{name}.1.running_var"] = (1 + 0.1 * np.abs(
+            rng.randn(cout))).astype(np.float32)
+
+    def add_bn(name, c):
+        sd[f"{name}.weight"] = (1 + 0.1 * rng.randn(c)).astype(np.float32)
+        sd[f"{name}.bias"] = w(c)
+        sd[f"{name}.running_mean"] = w(c)
+        sd[f"{name}.running_var"] = (1 + 0.1 * np.abs(
+            rng.randn(c))).astype(np.float32)
+
+    sd["body.conv1.weight"] = w(64, 3, 7, 7)
+    add_bn("body.bn1", 64)
+    cin = 64
+    for li, (planes, blocks) in enumerate([(64, 3), (128, 4), (256, 6),
+                                           (512, 3)]):
+        for bi in range(blocks):
+            t = f"body.layer{li + 1}.{bi}"
+            sd[f"{t}.conv1.weight"] = w(planes, cin, 1, 1)
+            add_bn(f"{t}.bn1", planes)
+            sd[f"{t}.conv2.weight"] = w(planes, planes, 3, 3)
+            add_bn(f"{t}.bn2", planes)
+            sd[f"{t}.conv3.weight"] = w(planes * 4, planes, 1, 1)
+            add_bn(f"{t}.bn3", planes * 4)
+            if bi == 0:
+                sd[f"{t}.downsample.0.weight"] = w(planes * 4, cin, 1, 1)
+                add_bn(f"{t}.downsample.1", planes * 4)
+            cin = planes * 4
+    for i, cin_f in enumerate([512, 1024, 2048]):
+        add_convbn(f"fpn.output{i + 1}", cin_f, 256, 1)
+    add_convbn("fpn.merge1", 256, 256, 3)
+    add_convbn("fpn.merge2", 256, 256, 3)
+    for i in (1, 2, 3):
+        add_convbn(f"ssh{i}.conv3X3", 256, 128, 3)
+        add_convbn(f"ssh{i}.conv5X5_1", 256, 64, 3)
+        add_convbn(f"ssh{i}.conv5X5_2", 64, 64, 3)
+        add_convbn(f"ssh{i}.conv7X7_2", 64, 64, 3)
+        add_convbn(f"ssh{i}.conv7x7_3", 64, 64, 3)
+    for i in range(3):
+        for head, co in [("ClassHead", 4), ("BboxHead", 8),
+                         ("LandmarkHead", 20)]:
+            sd[f"{head}.{i}.conv1x1.weight"] = w(co, 256, 1, 1)
+            sd[f"{head}.{i}.conv1x1.bias"] = w(co)
+
+    variables = convert_retinaface(sd)
+    model = RetinaFace()
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3),
+                    jnp.float32)
+    ref_vars = model.init(jax.random.PRNGKey(0), x)
+    got_shapes = jax.tree_util.tree_map(lambda a: np.shape(a), variables)
+    want_shapes = jax.tree_util.tree_map(lambda a: np.shape(a), ref_vars)
+    assert got_shapes == want_shapes
+    bbox, cls, ldm = model.apply(variables, x)
+    assert np.isfinite(np.asarray(bbox)).all()
