@@ -94,15 +94,17 @@ RVRT_TASKS = {
 }
 
 
-def build_task(task: str, model_path: str):
-    """(jitted forward, scale, window_size, nonblind) for a task preset."""
+def build_task(task: str, model_path: str, fuse: bool = False):
+    """(jitted forward, scale, window_size, nonblind) for a task preset.
+    fuse=True enables the fused Pallas attention blocks (TMSA mutual+GEGLU
+    groups for VRT; self-only STL blocks for RVRT)."""
     import jax
     from kair_tpu.ckpt import torch_convert as tc
 
     if task in VRT_TASKS:
         from kair_tpu.models.vrt import VRT
         cfg = VRT_TASKS[task]
-        model = VRT(**cfg)
+        model = VRT(**cfg, fuse_block=fuse)
         sd = tc.load_torch_state_dict(model_path, "params")
         variables = tc.convert_vrt(sd, depths=cfg["depths"],
                                    pa_frames=cfg["pa_frames"],
@@ -110,7 +112,7 @@ def build_task(task: str, model_path: str):
     elif task in RVRT_TASKS:
         from kair_tpu.models.rvrt import RVRT
         cfg = RVRT_TASKS[task]
-        model = RVRT(**cfg)
+        model = RVRT(**cfg, fuse_block=fuse)
         sd = tc.load_torch_state_dict(model_path, "params")
         variables = tc.convert_rvrt(sd, num_blocks=cfg["num_blocks"],
                                     depths=cfg["depths"],
@@ -169,6 +171,8 @@ def main(argv=None):
                         help="[frames, h, w]; 0 to test that axis whole")
     parser.add_argument("--tile_overlap", type=int, nargs="+",
                         default=[2, 20, 20])
+    parser.add_argument("--fuse", action="store_true",
+                        help="fused Pallas attention blocks")
     parser.add_argument("--save_result", action="store_true")
     parser.add_argument("--results", type=str, default="results")
     args = parser.parse_args(argv)
@@ -178,7 +182,7 @@ def main(argv=None):
     from kair_tpu.utils.logger import setup_logger
 
     logger = setup_logger("test_video")
-    fwd, scale, window_size, nonblind = build_task(args.task, args.model_path)
+    fwd, scale, window_size, nonblind = build_task(args.task, args.model_path, fuse=args.fuse)
     if nonblind and args.sigma == 0:
         logger.warning("task %s is non-blind denoising but --sigma is 0; "
                        "pass e.g. --sigma 10", args.task)
