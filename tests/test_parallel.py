@@ -232,6 +232,7 @@ def test_grid_sharded_swinir_window_aligned():
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_grid_sharded_video_vrt_matches_host_loop():
     """Mesh-sharded VIDEO tiled inference (VERDICT r2 #5): a tiny VRT's
     spatial tile grid runs across a 2x2 device mesh in ONE program —

@@ -73,6 +73,7 @@ def test_tiled_video_inference_matches_monolithic():
     assert got2.shape == want.shape
 
 
+@pytest.mark.slow
 def test_video_trainer_flow_freeze():
     """fix_keys params must not move before fix_iter and move after."""
     import jax
@@ -356,6 +357,7 @@ def _tiny_rvrt():
                 attention_window=(3, 3))
 
 
+@pytest.mark.slow
 def test_rvrt_streamed_matches_full():
     """Chunked long-video path (host feature cache, O(clip) device
     residency) == monolithic forward (reference cpu_cache semantics,
