@@ -49,8 +49,12 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
 
     # gather granularity (measured on v5e, see ops/warp.py): python loop
     # over (clip, dg) with the K taps vmapped inside — many small index
-    # sets beat one big vmapped gather on the TPU gather path, while the
-    # HLO stays at clip*dg subgraphs instead of 2*clip*K*dg
+    # sets beat one big vmapped gather on the TPU gather path (1.5x,
+    # commit 026d939; re-confirmed round 3: merging the group dim into the
+    # index rows is 1.5x SLOWER), while the HLO stays at clip*dg subgraphs
+    # instead of 2*clip*K*dg. k and v share every coordinate, so they ride
+    # ONE (2,2,2*cg) patch gather — TPU gather cost scales with index rows,
+    # and this halves them (12.2 → 7.2 ms/clip-gather on v5e).
     ky = (jnp.arange(K) // kw - pad).astype(q.dtype)          # (K,)
     kx = (jnp.arange(K) % kw - pad).astype(q.dtype)
     k_parts = []
@@ -64,12 +68,13 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
                 + off[:, n_c, :, :, g, :, 0].transpose(3, 0, 1, 2)  # (K,B,H,W)
             fx_g = gx[None, None] + kx[:, None, None, None] \
                 + off[:, n_c, :, :, g, :, 1].transpose(3, 0, 1, 2)
-            ks = jax.vmap(lambda fy, fx: _sample_bilinear(
-                kf[:, :, :, g, :], fy, fx, "zeros"))(fy_g, fx_g)
-            vs = jax.vmap(lambda fy, fx: _sample_bilinear(
-                vf[:, :, :, g, :], fy, fx, "zeros"))(fy_g, fx_g)
-            kg_parts.append(ks.transpose(1, 2, 3, 0, 4))      # (B,H,W,K,cg)
-            vg_parts.append(vs.transpose(1, 2, 3, 0, 4))
+            both = jnp.concatenate([kf[:, :, :, g, :], vf[:, :, :, g, :]],
+                                   axis=-1)                   # (B,H,W,2cg)
+            s = jax.vmap(lambda fy, fx: _sample_bilinear(
+                both, fy, fx, "zeros"))(fy_g, fx_g)           # (K,B,H,W,2cg)
+            s = s.transpose(1, 2, 3, 0, 4)                    # (B,H,W,K,2cg)
+            kg_parts.append(s[..., :cg])
+            vg_parts.append(s[..., cg:])
         # channel order dg-major (matches k_feat reshape)
         k_parts.append(jnp.concatenate(kg_parts, axis=-1))    # (B,H,W,K,C)
         v_parts.append(jnp.concatenate(vg_parts, axis=-1))
