@@ -130,14 +130,18 @@ class SwinBlock(nn.Module):
                                          self.num_heads, ln1s, ln1b, ln2s,
                                          ln2b, fc1k, fc1b, fc2k, fc2b, mask,
                                          safe=True)
-            elif n == 64 and nw % 2 == 0 and not train:
-                # window-pair kernel (inference-only fallback, W % 16 != 0)
+            elif n in (49, 64) and not train:
+                # window-pair kernel: inference fallback for W % 16 != 0 /
+                # odd window counts, and the native fused path for ws=7
+                # (JPEG-CAR configs, main_test_swinir.py:170-172) — 49-token
+                # windows ride the 64-token kernel via zero-pad + key mask
                 warn_once(
                     f"swin-pair-fallback-{h}x{w}x{ws}",
-                    f"SwinIR fused strip kernel disabled at {h}x{w} "
-                    f"(needs H%8==0 and W%16==0): using the slower "
-                    f"window-pair kernel — pad to these multiples for "
-                    f"full speed")
+                    f"SwinIR fused strip kernel disabled at {h}x{w}, "
+                    f"window {ws} (needs ws==8, H%8==0, W%16==0): using the "
+                    f"window-pair kernel"
+                    + (" (~1.3x token-pad overhead for ws=7)" if n == 49
+                       else " — pad to these multiples for full speed"))
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas
                 xw = window_partition(x, ws)
                 xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel,
@@ -152,10 +156,12 @@ class SwinBlock(nn.Module):
                     f"swin-xla-fallback-{h}x{w}x{ws}-{train}",
                     f"SwinIR fuse_block=True fell back to the XLA path at "
                     f"{h}x{w}, window {ws}, train={train} (~4x slower): "
-                    + ("window size 8 is required for the Pallas kernels "
-                       f"(got {ws} — e.g. JPEG-CAR configs); pad/crop or "
+                    + ("window size 8 (or 7 at inference) is required for "
+                       f"the Pallas kernels (got {ws}); pad/crop or "
                        "accept the XLA path"
-                       if n != 64 else
+                       if n not in (49, 64) else
+                       "training requires ws=8 with H%8==0 and W%16==0"
+                       if train else
                        "pad H to a multiple of 8 and W to a multiple of 16"))
                 x = _flat_block_xla(x, ws, flat, bias_table, rel_idx,
                                     self.num_heads, mask)

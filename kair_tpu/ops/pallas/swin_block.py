@@ -735,9 +735,25 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
                       ln1_scale, ln1_bias, ln2_scale, ln2_bias,
                       fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
                       mask=None, interpret: bool = False):
-    """Fused block on (B, nW, N=64, C) shifted-partitioned windows."""
-    b, nw, n, c = xw.shape
-    assert n == 64 and nw % 2 == 0
+    """Fused block on (B, nW, N≤64, C) shifted-partitioned windows.
+
+    N < 64 (e.g. ws=7 → 49 tokens, the JPEG-CAR SwinIR geometry,
+    main_test_swinir.py:170-172) is padded to the kernel's native 64-token
+    windows: zero tokens + a −1e9 key mask in the pair bias
+    (make_pair_bias n_pad) keep real-token numerics exact; padded rows are
+    sliced off on return. Odd window counts are padded with one dummy
+    window the same way."""
+    b, nw0, n0, c = xw.shape
+    assert n0 <= 64
+    n = 64
+    if n0 < 64:
+        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, 64 - n0), (0, 0)))
+    nw = nw0
+    if nw % 2 != 0:
+        xw = jnp.pad(xw, ((0, 0), (0, 1), (0, 0), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 1), (0, 0), (0, 0)))
+        nw += 1
     hd = c // num_heads
     scale = hd ** -0.5
     n_pairs = nw // 2
@@ -753,7 +769,9 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     # f32 tests stay exact); biases/LN stay f32 — they're VPU adds
     wqkv, wp = wqkv.astype(xw.dtype), wp.astype(xw.dtype)
     pair_bias = make_pair_bias(bias_table, rel_index, num_heads, mask,
-                               n_pairs).astype(jnp.bfloat16)
+                               n_pairs,
+                               n_pad=64 if n0 < 64 else None
+                               ).astype(jnp.bfloat16)
     bias_is_constant = mask is None
     if bias_is_constant:
         pair_bias = pair_bias[:1]
@@ -792,4 +810,7 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
       ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
       fc1_kernel.astype(xw.dtype), fc1_bias.astype(jnp.float32),
       fc2_kernel.astype(xw.dtype), fc2_bias.astype(jnp.float32))
-    return out.reshape(b, nw, n, c)
+    out = out.reshape(b, nw, n, c)
+    if nw != nw0 or n0 != n:
+        out = out[:, :nw0, :n0]
+    return out

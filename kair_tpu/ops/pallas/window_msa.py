@@ -157,9 +157,16 @@ def pack_weights(qkv_kernel, qkv_bias, proj_kernel, num_heads: int):
 
 
 def make_pair_bias(bias_table, rel_index, num_heads: int,
-                   mask: Optional[jnp.ndarray], n_pairs_per_batch: int):
+                   mask: Optional[jnp.ndarray], n_pairs_per_batch: int,
+                   n_pad: Optional[int] = None):
     """(n_pairs, nh, 128, 128) f32 score bias: rel-pos bias on the diagonal
-    64-blocks (+ per-window shift mask), −1e9 off-diagonal."""
+    64-blocks (+ per-window shift mask), −1e9 off-diagonal.
+
+    n_pad: pad each window's token count n → n_pad (ws=7 windows of 49
+    tokens ride the 64-token kernels this way): padded KEY columns get −1e9
+    (their probabilities vanish exactly under exp), padded QUERY rows get 0
+    bias over the real keys — their outputs are finite garbage the caller
+    slices off."""
     n = rel_index.shape[0]
     # jnp-convert the table first: numpy fancy-indexing by a traced index
     # fails under jit (rel_index may be numpy or traced)
@@ -170,6 +177,10 @@ def make_pair_bias(bias_table, rel_index, num_heads: int,
         per_win = jnp.broadcast_to(rel[None], (2 * n_pairs_per_batch, num_heads, n, n))
     else:
         per_win = rel[None] + mask[:, None].astype(jnp.float32)
+    if n_pad is not None and n_pad > n:
+        per_win = jnp.pad(per_win, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        per_win = jnp.pad(per_win, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
+                          constant_values=_NEG)
     w0 = per_win[0::2]                                       # (n_pairs, nh, n, n)
     w1 = per_win[1::2]
     top = jnp.concatenate([w0, jnp.full_like(w0, _NEG)], axis=-1)

@@ -218,9 +218,11 @@ def test_fused_block_training_smoke():
 
 def test_fused_block_odd_geometry_inference():
     """fuse_block=True on a 56x56 input (7x7=49 windows — odd pair count,
-    W%16!=0) must route through the jnp flat-param fallback instead of
-    crashing, and match the standard path (ADVICE r1)."""
+    W%16!=0) routes through the window-pair kernel with a dummy padding
+    window and must match the standard path (ADVICE r1)."""
+    from unittest import mock
     from kair_tpu.models.swinir import SwinIR, fused_block_params
+    import kair_tpu.ops.pallas.swin_block as sb
 
     x = jnp.asarray(np.random.RandomState(5).rand(1, 56, 56, 1), jnp.float32)
     kw = dict(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
@@ -229,9 +231,39 @@ def test_fused_block_odd_geometry_inference():
     variables = std.init(jax.random.PRNGKey(0), x)
     want = std.apply(variables, x)
 
-    fused = SwinIR(**kw, fuse_block=True)
-    fp = {"params": fused_block_params(variables["params"])}
-    got = fused.apply(fp, x)
+    orig = sb.swin_block_pallas
+    with mock.patch.object(sb, "swin_block_pallas",
+                           lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        fused = SwinIR(**kw, fuse_block=True)
+        fp = {"params": fused_block_params(variables["params"])}
+        got = fused.apply(fp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [(28, 28), (21, 35)])
+def test_fused_block_ws7_inference(hw):
+    """ws=7 — 49-token windows, the JPEG-CAR SwinIR geometry
+    (main_test_swinir.py:170-172) — rides the 64-token window-pair kernel
+    via zero-padded tokens + a −1e9 key mask. (28,28): 16 windows (even
+    pairs); (21,35): 15 windows (odd — exercises the dummy-window pad).
+    depths=(2,) covers both the unshifted and the shift=3 masked block."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR, fused_block_params
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    x = jnp.asarray(np.random.RandomState(9).rand(1, *hw, 1), jnp.float32)
+    kw = dict(upscale=1, in_chans=1, embed_dim=24, depths=(2,),
+              num_heads=(4,), window_size=7, mlp_ratio=2.0, upsampler="")
+    std = SwinIR(**kw)
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = std.apply(variables, x)
+
+    orig = sb.swin_block_pallas
+    with mock.patch.object(sb, "swin_block_pallas",
+                           lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        fused = SwinIR(**kw, fuse_block=True)
+        fp = {"params": fused_block_params(variables["params"])}
+        got = fused.apply(fp, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
