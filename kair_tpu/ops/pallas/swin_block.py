@@ -71,7 +71,7 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
                 fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                 *, num_heads: int, scale: float,
                 g_blk: int, bias_mode: str, safe: bool = False,
-                bias_idx_fn=None):
+                bias_idx_fn=None, rowsum_lane: bool = False):
     """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout.
 
     qkv runs as ONE (T, C)@(C, nh*96) matmul (pack_weights_fused layout,
@@ -124,13 +124,19 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
             e = jnp.exp(s)
             # softmax restructured for the VPU (measured 0.97 ms of the
             # 3.9 ms block): the 128-lane row reduction becomes an MXU
-            # ones-matmul, and 1/sum scales the (128,32) PV OUTPUT rows
+            # matmul, and 1/sum scales the (128,32) PV OUTPUT rows
             # instead of the (128,128) probability matrix
             eb = e.astype(dtype)
-            rs = jnp.dot(eb, jnp.ones((128, 8), dtype),
-                         preferred_element_type=jnp.float32)[:, :1]
             o = jnp.dot(eb, v[g * 128:(g + 1) * 128],
                         preferred_element_type=jnp.float32)
+            if rowsum_lane:
+                # v's first pad lane is the constant 1 (pack_qkv_fused
+                # rowsum_lane), so PV column hd IS Σₖe — no separate
+                # ones-matmul per (pair, head) (3.4 → ~2.6 ms/block call)
+                rs = o[:, c // num_heads:c // num_heads + 1]
+            else:
+                rs = jnp.dot(eb, jnp.ones((128, 8), dtype),
+                             preferred_element_type=jnp.float32)[:, :1]
             outs.append(o * (1.0 / rs))
         return jnp.concatenate(outs, axis=0)
 
@@ -147,19 +153,21 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
 
 
 def _kernel(x_ref, *refs, num_heads: int, scale: float,
-            pairs_per_block: int, bias_mode: str):
+            pairs_per_block: int, bias_mode: str,
+            rowsum_lane: bool = False):
     out_ref = refs[-1]
     g_blk = pairs_per_block
     c = x_ref.shape[-1]
     x0 = x_ref[:].reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
-                    g_blk=g_blk, bias_mode=bias_mode)
+                    g_blk=g_blk, bias_mode=bias_mode,
+                    rowsum_lane=rowsum_lane)
     out_ref[:] = y.reshape(g_blk, 128, c)
 
 
 def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
                pairs_per_block: int, bias_mode: str, safe: bool = False,
-               phase: int = 0):
+               phase: int = 0, rowsum_lane: bool = False):
     """Strip layout: x_ref (1, 8, W, C) — one window-row strip. The window
     partition/reverse is pure VMEM relayout here instead of XLA HBM
     round-trips between blocks.
@@ -188,7 +196,8 @@ def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
     x4 = x8.reshape(8, nwin, 8, c).transpose(1, 0, 2, 3)
     x0 = x4.reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
-                    g_blk=g_blk, bias_mode=bias_mode, safe=safe)
+                    g_blk=g_blk, bias_mode=bias_mode, safe=safe,
+                    rowsum_lane=rowsum_lane)
     y4 = y.reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
     out_ref[0] = y4.reshape(8, w, c)
 
@@ -626,8 +635,9 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
      fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) = params
     b, h, w, c = x.shape
 
+    rl = (c // num_heads) < _HD_PAD
     wqkv, bqkv, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
-                                        num_heads, scale)
+                                        num_heads, scale, rowsum_lane=rl)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 128, 128),
@@ -644,7 +654,7 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
     kernel = functools.partial(
         _kernel_2d, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
         bias_mode="const" if bias_is_constant else "strip2", safe=safe,
-        phase=phase)
+        phase=phase, rowsum_lane=rl)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     strip_spec = pl.BlockSpec(
         (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
@@ -763,8 +773,9 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
             g_blk = cand
             break
 
+    rl = hd < _HD_PAD
     wqkv, bqkv, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
-                                        num_heads, scale)
+                                        num_heads, scale, rowsum_lane=rl)
     # matmul operands in the input dtype (bf16 inference → full MXU rate;
     # f32 tests stay exact); biases/LN stay f32 — they're VPU adds
     wqkv, wp = wqkv.astype(xw.dtype), wp.astype(xw.dtype)
@@ -780,7 +791,8 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     grid = (b * n_pairs // g_blk,)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
-        bias_mode="const" if bias_is_constant else "per_pair")
+        bias_mode="const" if bias_is_constant else "per_pair",
+        rowsum_lane=rl)
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 2 * n, 2 * n),
                                  lambda i: (0, 0, 0, 0),

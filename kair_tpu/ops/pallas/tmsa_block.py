@@ -91,7 +91,7 @@ def make_tmsa_biases(bias_table, rel_idx, num_heads: int,
     return bias_self, jnp.asarray(bias_mut)
 
 
-def _attend(qkv, bias, g, h, dtype, safe: bool = False):
+def _attend(qkv, bias, g, h, dtype, safe: bool = False, rs_lane=None):
     """One (128,128) attention for window g, head h on packed qkv."""
     base = h * 3 * _HD_PAD
     q = qkv[:, base:base + _HD_PAD]
@@ -108,13 +108,18 @@ def _attend(qkv, bias, g, h, dtype, safe: bool = False):
         # max-free softmax: bounded scores can't overflow f32 exp)
         s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    # VPU-lean softmax (see swin_block._block_body): row sum via MXU
-    # ones-matmul, 1/sum folded onto the (128,32) PV output rows
+    # VPU-lean softmax (see swin_block._block_body): 1/sum folded onto the
+    # (128,32) PV output rows; with rs_lane, v's first pad lane is the
+    # constant 1 (pack_qkv_fused rowsum_lane) so PV column rs_lane IS the
+    # row sum — no separate ones-matmul per (window, head)
     eb = e.astype(dtype)
-    rs = jnp.dot(eb, jnp.ones((N, 8), dtype),
-                 preferred_element_type=jnp.float32)[:, :1]
     o = jnp.dot(eb, v[g * N:(g + 1) * N],
                 preferred_element_type=jnp.float32)
+    if rs_lane is not None:
+        rs = o[:, rs_lane:rs_lane + 1]
+    else:
+        rs = jnp.dot(eb, jnp.ones((N, 8), dtype),
+                     preferred_element_type=jnp.float32)[:, :1]
     return o * (1.0 / rs)
 
 
@@ -124,7 +129,7 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
             fc11w_ref, fc11b_ref, fc12w_ref, fc12b_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
-            nd: int, nh_: int, safe: bool = False):
+            nd: int, nh_: int, safe: bool = False, rs_lane=None):
     g_w = n_win
     c = x_ref.shape[-1]
     w = x_ref.shape[3]
@@ -165,8 +170,9 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
                 bs = bias_self_ref[0, hd_i]
                 bm = bias_mut_ref[0, hd_i]
             s_list.append(_attend(qkv_s, bs.astype(jnp.float32), g, hd_i,
-                                  dtype, safe))
-            om = _attend(qkv_m, bm.astype(jnp.float32), g, hd_i, dtype, safe)
+                                  dtype, safe, rs_lane))
+            om = _attend(qkv_m, bm.astype(jnp.float32), g, hd_i, dtype, safe,
+                         rs_lane)
             # anti-diagonal attention: output halves swap back so token t
             # of frame 1 carries frame-2→frame-1 alignment and vice versa
             m_list.append(jnp.concatenate([om[HALF:], om[:HALF]], axis=0))
@@ -203,8 +209,11 @@ def _impl(meta, x, flat, pos, bias_self, bias_mut):
     scale = hd ** -0.5
     nd, nh_, n_win = d // 2, h // 8, w // 8
 
-    wqkv_s, bqkv_s = pack_qkv_fused(qkv_s_k, qkv_s_b, num_heads, scale)
-    wqkv_m, bqkv_m = pack_qkv_fused(qkv_m_k, qkv_m_b, num_heads, scale)
+    rs_lane = hd if hd < _HD_PAD else None
+    wqkv_s, bqkv_s = pack_qkv_fused(qkv_s_k, qkv_s_b, num_heads, scale,
+                                    rowsum_lane=rs_lane is not None)
+    wqkv_m, bqkv_m = pack_qkv_fused(qkv_m_k, qkv_m_b, num_heads, scale,
+                                    rowsum_lane=rs_lane is not None)
     wp = pack_proj2(proj_k, num_heads)
     wqkv_s, wqkv_m, wp = (t.astype(x.dtype) for t in (wqkv_s, wqkv_m, wp))
 
@@ -215,7 +224,7 @@ def _impl(meta, x, flat, pos, bias_self, bias_mut):
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, n_win=n_win, shifted=shifted,
-        nd=nd, nh_=nh_, safe=safe)
+        nd=nd, nh_=nh_, safe=safe, rs_lane=rs_lane)
     bias_dtype = jnp.float32 if bias_self.shape[0] == 1 else jnp.bfloat16
     return pl.pallas_call(
         kernel,

@@ -84,7 +84,8 @@ def _blockdiag_neg(n: int = 64) -> np.ndarray:
     return m
 
 
-def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float):
+def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float,
+                   rowsum_lane: bool = False):
     """Host-side relayout for the ONE-matmul qkv path: (C, 3C) →
     wqkv (C, nh*3*32) with per-head [q|k|v] 32-lane blocks, and
     bqkv (nh*96,). The attention scale is folded into the q columns
@@ -92,9 +93,17 @@ def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float):
 
     One (T,C)@(C,576) matmul fills MXU lanes; the old per-head layout
     issued 18 matmuls with N=32 (25% output-lane utilization) — the
-    dominant cost of the fused block measured on v5e."""
+    dominant cost of the fused block measured on v5e.
+
+    rowsum_lane (requires hd < 32): sets each head's FIRST PAD LANE of v
+    to the constant 1 (zero weights + bias 1), so the PV matmul's column
+    `hd` comes out as the softmax row-sum Σₖ e — the kernel reads the
+    denominator there instead of issuing a separate ones-matmul per
+    (pair, head) (measured 3.4 → 2.5-2.8 ms per fused-block call on v5e).
+    The projection's pad rows are zero, so the extra lane never leaks."""
     c = qkv_kernel.shape[0]
     hd = c // num_heads
+    assert not (rowsum_lane and hd >= _HD_PAD)
     wq, wk, wv = jnp.split(qkv_kernel, 3, axis=1)
     if qkv_bias is None:
         qkv_bias = jnp.zeros((3 * c,), qkv_kernel.dtype)
@@ -111,17 +120,21 @@ def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float):
     # interleave per head: [q_h | k_h | v_h] blocks of 32 lanes
     wqkv = jnp.stack([heads_w(wq) * scale, heads_w(wk), heads_w(wv)], axis=1)
     wqkv = wqkv.transpose(2, 0, 1, 3).reshape(c, num_heads * 3 * _HD_PAD)
-    bqkv = jnp.stack([heads_b(bq) * scale, heads_b(bk), heads_b(bv)],
+    bv = heads_b(bv)
+    if rowsum_lane:
+        bv = bv.at[:, hd].set(1.0)
+    bqkv = jnp.stack([heads_b(bq) * scale, heads_b(bk), bv],
                      axis=1).reshape(-1)
     return wqkv, bqkv
 
 
 def pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel, num_heads: int,
-                       scale: float):
+                       scale: float, rowsum_lane: bool = False):
     """pack_qkv_fused + the padded head-major projection rows."""
     c = qkv_kernel.shape[0]
     hd = c // num_heads
-    wqkv, bqkv = pack_qkv_fused(qkv_kernel, qkv_bias, num_heads, scale)
+    wqkv, bqkv = pack_qkv_fused(qkv_kernel, qkv_bias, num_heads, scale,
+                                rowsum_lane=rowsum_lane)
     wp = proj_kernel.reshape(num_heads, hd, c)
     wp = jnp.pad(wp, ((0, 0), (0, _HD_PAD - hd), (0, 0)))
     wp = wp.reshape(num_heads * _HD_PAD, c)
