@@ -319,6 +319,12 @@ class TMSA(nn.Module):
                 and tuple(ws) == (2, 8, 8) and d % 2 == 0
                 and h % 8 == 0 and w % 8 == 0):
             return self._fused(x, ws, ss)
+        if (self.fuse_block and not self.mut_attn and self.geglu
+                and tuple(ws) == (6, 8, 8) and d % 6 == 0
+                and h % 8 == 0 and w % 8 == 0):
+            # VRT's second (self-only) TMSAG of every stage + the RTMSA
+            # tail (reference :855-995, :1318-1366): 384-token windows
+            return self._fused_self6(x, ws, ss)
         if self.fuse_block and not self.mut_attn and not self.geglu:
             # RVRT STL blocks (network_rvrt.py:337-358): self-only attention
             # + plain MLP == the SwinIR block on 3-D windows
@@ -336,8 +342,9 @@ class TMSA(nn.Module):
                 f"TMSA fuse_block=True fell back to the XLA path at "
                 f"D{d}xH{h}xW{w}, window {tuple(ws)}, mut_attn="
                 f"{self.mut_attn}, geglu={self.geglu} (slower): fused "
-                "kernels cover (2,8,8) mutual+GEGLU, (2,8,8) self-only, "
-                "and (1,8,8) self-only (W%16==0) geometries")
+                "kernels cover (2,8,8) mutual+GEGLU, (6,8,8) self+GEGLU "
+                "(D%6==0), (2,8,8) self-only, and (1,8,8) self-only "
+                "(W%16==0) geometries")
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -417,6 +424,49 @@ class TMSA(nn.Module):
             p["attn"]["rel_bias_table"], rel_idx, self.num_heads, pats)
         y = tmsa_block_pallas(x_in, flat, pos2, self.num_heads,
                               bias_self, bias_mut, shifted)
+        if shifted:
+            y = jnp.roll(y, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        return y
+
+    def _fused_self6(self, x, ws, ss):
+        """Fused self-only + GEGLU (6,8,8) block
+        (ops/pallas/self6_block.py). Same param-declaration scheme as
+        `_fused`: the standard submodules run on dummies so the tree is
+        identical to the XLA path."""
+        from kair_tpu.ops.pallas.self6_block import (make_self6_rel,
+                                                     self6_block_pallas)
+        from kair_tpu.ops.pallas.tmsa_block import tmsa_mask_patterns
+        b, d, h, w, c = x.shape
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        _ = norm1(jnp.zeros((1, c), x.dtype))
+        attn = WindowAttention3D(self.dim, ws, self.num_heads, self.qkv_bias,
+                                 False, dtype=self.dtype, name="attn")
+        _ = attn(jnp.zeros((1, 1, 384, c), x.dtype))
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        _ = norm2(jnp.zeros((1, c), x.dtype))
+        mlp = GEGLU(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")
+        _ = mlp(jnp.zeros((1, c), x.dtype))
+        ap = attn.variables["params"]
+        flat = (ap["qkv_self_kernel"], ap.get("qkv_self_bias"),
+                ap["proj_kernel"], ap["proj_bias"],
+                norm1.variables["params"]["scale"],
+                norm1.variables["params"]["bias"],
+                norm2.variables["params"]["scale"],
+                norm2.variables["params"]["bias"],
+                mlp.variables["params"]["fc11"]["kernel"],
+                mlp.variables["params"]["fc11"]["bias"],
+                mlp.variables["params"]["fc12"]["kernel"],
+                mlp.variables["params"]["fc12"]["bias"],
+                mlp.variables["params"]["fc2"]["kernel"],
+                mlp.variables["params"]["fc2"]["bias"])
+        rel = make_self6_rel(ap["rel_bias_table"], self.num_heads)
+        shifted = any(s > 0 for s in ss)
+        if shifted:
+            pats = tmsa_mask_patterns(d, h, w, ws, ss)
+            x_in = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+        else:
+            pats, x_in = None, x
+        y = self6_block_pallas(x_in, flat, self.num_heads, rel, pats, shifted)
         if shifted:
             y = jnp.roll(y, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
         return y

@@ -1,0 +1,83 @@
+"""Fused (6,8,8) self-attention + GEGLU Pallas kernel vs the XLA TMSA
+module (interpret mode). Covers VRT's second TMSAG of each stage and the
+RTMSA tail geometries (reference network_vrt.py:855-995)."""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kair_tpu.models.vrt import TMSA
+
+C, NH = 24, 4
+WS = (6, 8, 8)
+
+
+def _ab(shift, d=6, h=16, w=16, seed=3):
+    x = jnp.asarray(np.random.RandomState(seed).rand(1, d, h, w, C) * 0.5,
+                    jnp.float32)
+    std = TMSA(C, NH, WS, shift, mut_attn=False, geglu=True)
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(std.apply(variables, x))
+
+    import kair_tpu.ops.pallas.self6_block as s6
+    fused = TMSA(C, NH, WS, shift, mut_attn=False, geglu=True,
+                 fuse_block=True)
+    orig = s6.self6_block_pallas
+    with mock.patch.object(s6, "self6_block_pallas",
+                           lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        fused_vars = fused.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(fused_vars) == \
+            jax.tree_util.tree_structure(variables)
+        got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_self6_fused_unshifted_matches():
+    _ab((0, 0, 0))
+
+
+def test_self6_fused_shifted_matches():
+    # D == 6 clamps the d-shift to 0 (get_window_size) — the VRT 6-frame
+    # training geometry
+    _ab((3, 4, 4))
+
+
+def test_self6_fused_multi_slab_shifted():
+    # D=12: two 6-frame slabs — exercises the is_last_d pattern selection
+    _ab((3, 4, 4), d=12, h=24, w=16, seed=4)
+
+
+def test_self6_fused_gradients_match():
+    """Grads through the custom VJP (jnp-reference recompute) == grads of
+    the standard XLA path."""
+    import kair_tpu.ops.pallas.self6_block as s6
+
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 6, 16, 16, C) * 0.5,
+                    jnp.float32)
+    std = TMSA(C, NH, WS, (3, 4, 4), mut_attn=False, geglu=True)
+    variables = std.init(jax.random.PRNGKey(1), x)
+
+    def loss_std(p):
+        return jnp.mean(std.apply({"params": p}, x) ** 2)
+
+    want_l, want_g = jax.value_and_grad(loss_std)(variables["params"])
+
+    fused = TMSA(C, NH, WS, (3, 4, 4), mut_attn=False, geglu=True,
+                 fuse_block=True)
+    orig = s6.self6_block_pallas
+    with mock.patch.object(s6, "self6_block_pallas",
+                           lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        def loss_fused(p):
+            return jnp.mean(fused.apply({"params": p}, x) ** 2)
+        got_l, got_g = jax.value_and_grad(loss_fused)(variables["params"])
+
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(want_g),
+            jax.tree_util.tree_leaves_with_path(got_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5,
+                                   rtol=2e-3, err_msg=str(kp))
