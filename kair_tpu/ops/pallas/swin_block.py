@@ -276,6 +276,7 @@ def _kernel_2d_bwd(x_ref, dy_ref,
     qkv = (jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
            + bqkv_ref[:]).astype(dtype)                  # (T, nh*96)
 
+    ones8 = jnp.ones((128, 8), dtype)
     qs, ks, vs, ps, o_cols = [], [], [], [], []
     for hd_i in range(num_heads):
         base = hd_i * 3 * _HD_PAD
@@ -298,7 +299,11 @@ def _kernel_2d_bwd(x_ref, dy_ref,
             # forward exactly)
             sb = sg.astype(jnp.float32) + bias.astype(jnp.float32)
             e = jnp.exp(sb - jnp.max(sb, axis=-1, keepdims=True))
-            pg = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            # row sum as an MXU ones-matmul (same trick as the forward; the
+            # 128-lane VPU reduction was the recompute's softmax tax)
+            ers = jnp.dot(e.astype(dtype), ones8,
+                          preferred_element_type=jnp.float32)[:, :1]
+            pg = e * (1.0 / ers)
             p_gs.append(pg)
             o_gs.append(jnp.dot(pg.astype(dtype), v[g * 128:(g + 1) * 128],
                                 preferred_element_type=jnp.float32))
@@ -345,7 +350,6 @@ def _kernel_2d_bwd(x_ref, dy_ref,
     # attention backward per head (forward state already resident); dq/dk/dv
     # pieces collect into ONE packed (T, nh*96) array so the weight/input
     # grads are two full-width contractions
-    ones8 = jnp.ones((128, 8), dtype)
     dqkv_cols = []
     for hd_i in range(num_heads):
         q, k, v, p_gs = qs[hd_i], ks[hd_i], vs[hd_i], ps[hd_i]
