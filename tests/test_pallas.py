@@ -328,3 +328,27 @@ def test_fused_2d_safe_softmax_survives_logit_spike():
         "test input no longer overflows — raise the scale"
     out = np.asarray(run(safe=True))
     assert np.isfinite(out).all()
+
+
+def test_fused_block_hd32_no_rowsum_lane():
+    """hd == 32 leaves no free pad lane, so the kernels must take the
+    ones-matmul row-sum path (RVRT's C=192/6-head geometry). Equality vs
+    the standard block at C=128, 4 heads."""
+    from unittest import mock
+    from kair_tpu.models.swinir import SwinIR, fused_block_params
+    import kair_tpu.ops.pallas.swin_block as sb
+
+    x = jnp.asarray(np.random.RandomState(11).rand(1, 16, 16, 1), jnp.float32)
+    kw = dict(upscale=1, in_chans=1, embed_dim=128, depths=(2,),
+              num_heads=(4,), window_size=8, mlp_ratio=2.0, upsampler="")
+    std = SwinIR(**kw)
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = std.apply(variables, x)
+
+    fused_vars = {"params": fused_block_params(variables["params"])}
+    orig2d = sb.swin_block_pallas_2d
+    with mock.patch.object(sb, "swin_block_pallas_2d",
+                           lambda *a, **k: orig2d(*a, **{**k, "interpret": True})):
+        fused = SwinIR(**kw, fuse_block=True)
+        got = fused.apply(fused_vars, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
