@@ -37,6 +37,18 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the full VRT training step takes ~30 min to
+    # compile on the tunnelled TPU; never pay it twice (video_bench does the
+    # same)
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from kair_tpu.train.trainer import PlainTrainer
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None

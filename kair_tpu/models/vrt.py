@@ -320,10 +320,12 @@ class TMSA(nn.Module):
                 and h % 8 == 0 and w % 8 == 0):
             return self._fused(x, ws, ss)
         if (self.fuse_block and not self.mut_attn and self.geglu
-                and tuple(ws) == (6, 8, 8) and d % 6 == 0
+                and tuple(ws[1:]) == (8, 8) and d % ws[0] == 0
                 and h % 8 == 0 and w % 8 == 0):
             # VRT's second (self-only) TMSAG of every stage + the RTMSA
-            # tail (reference :855-995, :1318-1366): 384-token windows
+            # tail (reference :855-995, :1318-1366): (wd,8,8) windows —
+            # wd=6 (384 tokens), wd=1 for the per-frame indep_reconsts
+            # blocks (reference :1358), wd=2 for 2-frame clips
             return self._fused_self6(x, ws, ss)
         if self.fuse_block and not self.mut_attn and not self.geglu:
             # RVRT STL blocks (network_rvrt.py:337-358): self-only attention
@@ -342,8 +344,8 @@ class TMSA(nn.Module):
                 f"TMSA fuse_block=True fell back to the XLA path at "
                 f"D{d}xH{h}xW{w}, window {tuple(ws)}, mut_attn="
                 f"{self.mut_attn}, geglu={self.geglu} (slower): fused "
-                "kernels cover (2,8,8) mutual+GEGLU, (6,8,8) self+GEGLU "
-                "(D%6==0), (2,8,8) self-only, and (1,8,8) self-only "
+                "kernels cover (2,8,8) mutual+GEGLU, (wd,8,8) self+GEGLU "
+                "(D%wd==0), (2,8,8) self-only, and (1,8,8) self-only "
                 "(W%16==0) geometries")
 
         shortcut = x
@@ -429,19 +431,22 @@ class TMSA(nn.Module):
         return y
 
     def _fused_self6(self, x, ws, ss):
-        """Fused self-only + GEGLU (6,8,8) block
-        (ops/pallas/self6_block.py). Same param-declaration scheme as
-        `_fused`: the standard submodules run on dummies so the tree is
-        identical to the XLA path."""
+        """Fused self-only + GEGLU (wd,8,8) block
+        (ops/pallas/self6_block.py) — wd=6 for the stage self groups and
+        the RTMSA head, wd=1 for the per-frame indep_reconsts tail
+        (reference :1358), wd=2 for D==2 clips. Same param-declaration
+        scheme as `_fused`: the standard submodules run on dummies so the
+        tree is identical to the XLA path."""
         from kair_tpu.ops.pallas.self6_block import (make_self6_rel,
                                                      self6_block_pallas)
         from kair_tpu.ops.pallas.tmsa_block import tmsa_mask_patterns
         b, d, h, w, c = x.shape
+        wd = ws[0]
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         _ = norm1(jnp.zeros((1, c), x.dtype))
         attn = WindowAttention3D(self.dim, ws, self.num_heads, self.qkv_bias,
                                  False, dtype=self.dtype, name="attn")
-        _ = attn(jnp.zeros((1, 1, 384, c), x.dtype))
+        _ = attn(jnp.zeros((1, 1, wd * 64, c), x.dtype))
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         _ = norm2(jnp.zeros((1, c), x.dtype))
         mlp = GEGLU(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")
@@ -459,14 +464,15 @@ class TMSA(nn.Module):
                 mlp.variables["params"]["fc12"]["bias"],
                 mlp.variables["params"]["fc2"]["kernel"],
                 mlp.variables["params"]["fc2"]["bias"])
-        rel = make_self6_rel(ap["rel_bias_table"], self.num_heads)
+        rel = make_self6_rel(ap["rel_bias_table"], self.num_heads, wd)
         shifted = any(s > 0 for s in ss)
         if shifted:
             pats = tmsa_mask_patterns(d, h, w, ws, ss)
             x_in = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
         else:
             pats, x_in = None, x
-        y = self6_block_pallas(x_in, flat, self.num_heads, rel, pats, shifted)
+        y = self6_block_pallas(x_in, flat, self.num_heads, rel, pats, shifted,
+                               wd=wd)
         if shifted:
             y = jnp.roll(y, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
         return y
@@ -621,6 +627,7 @@ class RTMSA(nn.Module):
     window_size: Tuple[int, int, int]
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    fuse_block: bool = False
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -628,7 +635,8 @@ class RTMSA(nn.Module):
     def __call__(self, x):
         y = TMSAG(self.dim, self.depth, self.num_heads, self.window_size,
                   mut_attn=False, mlp_ratio=self.mlp_ratio,
-                  qkv_bias=self.qkv_bias, remat=self.remat, dtype=self.dtype,
+                  qkv_bias=self.qkv_bias, fuse_block=self.fuse_block,
+                  remat=self.remat, dtype=self.dtype,
                   name="group")(x)
         return x + nn.Dense(self.dim, dtype=self.dtype, name="linear")(y)
 
@@ -728,7 +736,8 @@ class Stage(nn.Module):
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear1")(y) + x
         y = TMSAG(self.dim, self.depth - depth1, self.num_heads,
                   self.window_size, mut_attn=False, mlp_ratio=self.mlp_ratio,
-                  qkv_bias=self.qkv_bias, remat=self.remat, dtype=self.dtype,
+                  qkv_bias=self.qkv_bias, fuse_block=self.fuse_block,
+                  remat=self.remat, dtype=self.dtype,
                   name="group2")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y) + x
 
@@ -1005,7 +1014,8 @@ class VRT(nn.Module):
             ws8 = (1, self.window_size[1], self.window_size[2]) \
                 if j in indep else self.window_size
             xx = RTMSA(self.embed_dims[j], self.depths[j], self.num_heads[j],
-                       ws8, self.mlp_ratio, self.qkv_bias, remat=self.remat,
+                       ws8, self.mlp_ratio, self.qkv_bias,
+                       fuse_block=self.fuse_block, remat=self.remat,
                        dtype=self.dtype, name=f"stage8_{j - 7}")(xx)
 
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xx)

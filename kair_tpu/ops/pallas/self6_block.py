@@ -48,13 +48,15 @@ def pack_proj_self(proj_kernel, num_heads: int):
     return wp.reshape(num_heads * _HD_PAD, c)
 
 
-def make_self6_rel(bias_table, num_heads: int):
-    """(nh, 384, 384) f32 rel-pos bias, index built IN-GRAPH from the tiny
-    (3,384) coords constant (the materialized (384,384) index would be
-    ~0.6 MB of HLO per distinct block config)."""
+def make_self6_rel(bias_table, num_heads: int, wd: int = 6):
+    """(nh, N, N) f32 rel-pos bias for (wd,8,8) windows, index built
+    IN-GRAPH from the tiny (3,N) coords constant (the materialized (N,N)
+    index would be ~0.6 MB of HLO per distinct block config)."""
     from kair_tpu.models.vrt import rel_position_index_3d_graph
-    idx = rel_position_index_3d_graph(6, 8, 8, N6)
-    rel = jnp.asarray(bias_table)[idx.reshape(-1)].reshape(N6, N6, num_heads)
+    n_tok = wd * 64
+    idx = rel_position_index_3d_graph(wd, 8, 8, n_tok)
+    rel = jnp.asarray(bias_table)[idx.reshape(-1)].reshape(n_tok, n_tok,
+                                                           num_heads)
     return rel.transpose(2, 0, 1).astype(jnp.float32)
 
 
@@ -63,13 +65,14 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
             fc11w_ref, fc11b_ref, fc12w_ref, fc12b_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
-            nd: int, nh_: int, safe: bool, rs_lane):
+            nd: int, nh_: int, safe: bool, rs_lane, wd: int):
     g_w = n_win
+    n_tok = wd * 64
     c = x_ref.shape[-1]
     w = x_ref.shape[3]
-    # (6, 8, W, C) → (G windows, 6, 8, 8, C) → token-major (G*384, C)
-    x4 = x_ref[0].reshape(6, 8, g_w, 8, c).transpose(2, 0, 1, 3, 4)
-    x0 = x4.reshape(g_w * N6, c)
+    # (wd, 8, W, C) → (G windows, wd, 8, 8, C) → token-major (G*N, C)
+    x4 = x_ref[0].reshape(wd, 8, g_w, 8, c).transpose(2, 0, 1, 3, 4)
+    x0 = x4.reshape(g_w * n_tok, c)
     dtype = x0.dtype
 
     def layernorm(v, s_ref, b_ref):
@@ -96,8 +99,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
         v = qkv[:, base + 2 * _HD_PAD:base + 3 * _HD_PAD]
         outs = []
         for g in range(g_w):
-            qg = q[g * N6:(g + 1) * N6]
-            kg = k[g * N6:(g + 1) * N6]
+            qg = q[g * n_tok:(g + 1) * n_tok]
+            kg = k[g * n_tok:(g + 1) * n_tok]
             s = jax.lax.dot_general(qg, kg, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + rel_ref[hd_i].astype(jnp.float32)
@@ -108,12 +111,12 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
                 s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             eb = e.astype(dtype)
-            o = jnp.dot(eb, v[g * N6:(g + 1) * N6],
+            o = jnp.dot(eb, v[g * n_tok:(g + 1) * n_tok],
                         preferred_element_type=jnp.float32)
             if rs_lane is not None:
                 rs = o[:, rs_lane:rs_lane + 1]
             else:
-                rs = jnp.dot(eb, jnp.ones((N6, 8), dtype),
+                rs = jnp.dot(eb, jnp.ones((n_tok, 8), dtype),
                              preferred_element_type=jnp.float32)[:, :1]
             outs.append(o * (1.0 / rs))
         cols.append(jnp.concatenate(outs, axis=0))
@@ -134,20 +137,20 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
         + fc2b_ref[:]
     y = (x1 + mlp).astype(dtype)
 
-    y4 = y.reshape(g_w, 6, 8, 8, c).transpose(1, 2, 0, 3, 4)
-    out_ref[0] = y4.reshape(6, 8, w, c)
+    y4 = y.reshape(g_w, wd, 8, 8, c).transpose(1, 2, 0, 3, 4)
+    out_ref[0] = y4.reshape(wd, 8, w, c)
 
 
 def _impl(meta, x, flat, rel, mask_pats):
-    num_heads, shifted, interpret, safe = meta
+    num_heads, shifted, interpret, safe, wd = meta
     (qkv_k, qkv_b, proj_k, proj_b,
      ln1s, ln1b, ln2s, ln2b,
      fc11k, fc11b, fc12k, fc12b, fc2k, fc2b) = flat
     b, d, h, w, c = x.shape
-    assert d % 6 == 0 and h % 8 == 0 and w % 8 == 0
+    assert d % wd == 0 and h % 8 == 0 and w % 8 == 0
     hd = c // num_heads
     scale = hd ** -0.5
-    nd, nh_, n_win = d // 6, h // 8, w // 8
+    nd, nh_, n_win = d // wd, h // 8, w // 8
     rs_lane = hd if hd < _HD_PAD else None
 
     wqkv, bqkv = pack_qkv_fused(qkv_k, qkv_b, num_heads, scale,
@@ -156,13 +159,13 @@ def _impl(meta, x, flat, rel, mask_pats):
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     slab = pl.BlockSpec(
-        (1, 6, 8, w, c),
+        (1, wd, 8, w, c),
         lambda i, j, k2: (i, j, k2, 0, 0),
         memory_space=pltpu.VMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, n_win=n_win, shifted=shifted,
-        nd=nd, nh_=nh_, safe=safe, rs_lane=rs_lane)
+        nd=nd, nh_=nh_, safe=safe, rs_lane=rs_lane, wd=wd)
     return pl.pallas_call(
         kernel,
         grid=(b, nd, nh_),
@@ -181,10 +184,11 @@ def _impl(meta, x, flat, rel, mask_pats):
       fc2k.astype(x.dtype), fc2b.astype(jnp.float32))
 
 
-def window_pattern_index6(d: int, h: int, w: int, shifted: bool) -> np.ndarray:
-    """(nW,) int index of each (6,8,8) window's shift-mask pattern in
+def window_pattern_index6(d: int, h: int, w: int, shifted: bool,
+                          wd: int = 6) -> np.ndarray:
+    """(nW,) int index of each (wd,8,8) window's shift-mask pattern in
     partition order — 4·is_last_d + 2·is_last_h + is_last_w."""
-    nd, nh_, nw = d // 6, h // 8, w // 8
+    nd, nh_, nw = d // wd, h // 8, w // 8
     if not shifted:
         return np.zeros(nd * nh_ * nw, np.int32)
     di = (np.arange(nd) == nd - 1).astype(np.int32) * 4
@@ -194,21 +198,22 @@ def window_pattern_index6(d: int, h: int, w: int, shifted: bool) -> np.ndarray:
             + wi[None, None, :]).reshape(-1)
 
 
-def _reference_self6(x, flat, num_heads, rel, mask_pats, widx):
+def _reference_self6(x, flat, num_heads, rel, mask_pats, widx, wd=6):
     """jnp mirror of the fused kernel on (B,D,H,W,C) — the differentiable
     recompute path for the custom VJP (max-safe softmax)."""
     (qkv_k, qkv_b, proj_k, proj_b,
      ln1s, ln1b, ln2s, ln2b,
      fc11k, fc11b, fc12k, fc12b, fc2k, fc2b) = flat
     b, d, h, w, c = x.shape
-    nd, nh_, nw_ = d // 6, h // 8, w // 8
+    n_tok = wd * 64
+    nd, nh_, nw_ = d // wd, h // 8, w // 8
     n_windows = nd * nh_ * nw_
     hd = c // num_heads
     scale = hd ** -0.5
     dtype = x.dtype
 
-    xw = x.reshape(b, nd, 6, nh_, 8, nw_, 8, c)
-    xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, n_windows, N6, c)
+    xw = x.reshape(b, nd, wd, nh_, 8, nw_, 8, c)
+    xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, n_windows, n_tok, c)
 
     def ln(v, s, bb):
         vf = v.astype(jnp.float32)
@@ -221,7 +226,7 @@ def _reference_self6(x, flat, num_heads, rel, mask_pats, widx):
                    preferred_element_type=jnp.float32)
     if qkv_b is not None:
         y = y + qkv_b
-    y = y.astype(dtype).reshape(b, n_windows, N6, 3, num_heads, hd)
+    y = y.astype(dtype).reshape(b, n_windows, n_tok, 3, num_heads, hd)
     q = y[:, :, :, 0].transpose(0, 1, 3, 2, 4) * scale
     k = y[:, :, :, 1].transpose(0, 1, 3, 2, 4)
     v = y[:, :, :, 2].transpose(0, 1, 3, 2, 4)
@@ -237,7 +242,7 @@ def _reference_self6(x, flat, num_heads, rel, mask_pats, widx):
     p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
     o = jnp.einsum("bwhnm,bwhmd->bwhnd", p, v,
                    preferred_element_type=jnp.float32)
-    o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_windows, N6, c)
+    o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_windows, n_tok, c)
 
     attn = jnp.einsum("bwnd,dc->bwnc", o.astype(dtype), proj_k.astype(dtype),
                       preferred_element_type=jnp.float32) + proj_b
@@ -254,7 +259,7 @@ def _reference_self6(x, flat, num_heads, rel, mask_pats, widx):
                   preferred_element_type=jnp.float32) + fc2b
     y = (x1 + mlp).astype(dtype)
 
-    y = y.reshape(b, nd, nh_, nw_, 6, 8, 8, c)
+    y = y.reshape(b, nd, nh_, nw_, wd, 8, 8, c)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d, h, w, c)
     return y
 
@@ -265,18 +270,20 @@ def _fused_self6(meta, x, flat, rel, mask_pats):
 
 
 def _fused_self6_fwd(meta, x, flat, rel, mask_pats):
-    num_heads, shifted, interpret, _ = meta
-    y = _impl((num_heads, shifted, interpret, True), x, flat, rel, mask_pats)
+    num_heads, shifted, interpret, _, wd = meta
+    y = _impl((num_heads, shifted, interpret, True, wd), x, flat, rel,
+              mask_pats)
     return y, (x, flat, rel, mask_pats)
 
 
 def _fused_self6_bwd(meta, res, g):
-    num_heads, shifted, _, _ = meta
+    num_heads, shifted, _, _, wd = meta
     x, flat, rel, mask_pats = res
-    widx = window_pattern_index6(x.shape[1], x.shape[2], x.shape[3], shifted)
+    widx = window_pattern_index6(x.shape[1], x.shape[2], x.shape[3], shifted,
+                                 wd)
     _, vjp = jax.vjp(
         lambda xx, ff, rr, mm: _reference_self6(xx, ff, num_heads, rr, mm,
-                                                widx),
+                                                widx, wd),
         x, flat, rel, mask_pats)
     return vjp(g.astype(x.dtype))
 
@@ -286,18 +293,21 @@ _fused_self6.defvjp(_fused_self6_fwd, _fused_self6_bwd)
 
 def self6_block_pallas(x, flat, num_heads: int, rel, mask_pats,
                        shifted: bool, interpret: bool = False,
-                       safe: bool = False):
-    """Fused self-only + GEGLU block on (B, D, H, W, C), window (6,8,8).
+                       safe: bool = False, wd: int = 6):
+    """Fused self-only + GEGLU block on (B, D, H, W, C), window (wd,8,8).
 
     x          already 3-D-rolled by the caller for shifted blocks
     flat       (qkv_kernel, qkv_bias, proj_kernel(C,C), proj_bias,
                 ln1s, ln1b, ln2s, ln2b, fc11_k, fc11_b, fc12_k, fc12_b,
                 fc2_k, fc2_b)
-    rel        (nh, 384, 384) rel-pos bias (make_self6_rel)
-    mask_pats  (8, 384, 384) shift patterns (tmsa_mask_patterns) or None
-    Requires D % 6 == 0, H % 8 == 0, W % 8 == 0."""
+    rel        (nh, N, N) rel-pos bias (make_self6_rel), N = wd*64
+    mask_pats  (8, N, N) shift patterns (tmsa_mask_patterns) or None
+    wd         window depth: 6 (VRT stage groups/RTMSA head) or 1 (the
+               per-frame (1,8,8) indep_reconsts tail, reference :1358)
+    Requires D % wd == 0, H % 8 == 0, W % 8 == 0."""
+    n_tok = wd * 64
     if mask_pats is None:
-        mask_pats = np.zeros((1, N6, N6), np.float32)
+        mask_pats = np.zeros((1, n_tok, n_tok), np.float32)
     mask_pats = jnp.asarray(np.asarray(mask_pats, np.float32))
-    meta = (num_heads, shifted, interpret, safe)
+    meta = (num_heads, shifted, interpret, safe, wd)
     return _fused_self6(meta, x, flat, rel, mask_pats)
