@@ -39,6 +39,13 @@ from kair_tpu.ops.pallas.window_msa import _HD_PAD, pack_qkv_fused
 N6 = 384                                   # 6*8*8 tokens per window
 
 
+def _token_budget(c: int) -> int:
+    """Max tokens per program before the unrolled body's f32 intermediates
+    threaten the 16 MB scoped-VMEM stack (measured: 3072 tokens at C=120
+    needed 20.75 MB)."""
+    return 2048 if c <= 128 else 1024
+
+
 def pack_proj_self(proj_kernel, num_heads: int):
     """(C, C) projection → (nh*32, C) with zero pad rows per head."""
     c = proj_kernel.shape[-1]
@@ -65,7 +72,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
             fc11w_ref, fc11b_ref, fc12w_ref, fc12b_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
-            nd: int, nh_: int, safe: bool, rs_lane, wd: int):
+            nd: int, nh_: int, nw_blk: int, safe: bool, rs_lane, wd: int):
     g_w = n_win
     n_tok = wd * 64
     c = x_ref.shape[-1]
@@ -90,6 +97,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
         ild = jnp.where(pl.program_id(1) == nd - 1, 1, 0)
         ilh = jnp.where(pl.program_id(2) == nh_ - 1, 1, 0)
         base_idx = 4 * ild + 2 * ilh
+        # last window along w = last w-chunk AND last window in the chunk
+        ilw_blk = pl.program_id(3) == nw_blk - 1
 
     cols = []
     for hd_i in range(num_heads):
@@ -105,7 +114,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
                                     preferred_element_type=jnp.float32)
             s = s + rel_ref[hd_i].astype(jnp.float32)
             if shifted:
-                idx = base_idx + (1 if g == g_w - 1 else 0)
+                idx = base_idx + (jnp.where(ilw_blk, 1, 0)
+                                  if g == g_w - 1 else 0)
                 s = s + mask_ref[idx].astype(jnp.float32)
             if safe:
                 s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -153,22 +163,32 @@ def _impl(meta, x, flat, rel, mask_pats):
     nd, nh_, n_win = d // wd, h // 8, w // 8
     rs_lane = hd if hd < _HD_PAD else None
 
+    # windows per program, chunked along w: the unrolled per-window body
+    # keeps ~14 B/token of f32 intermediates live — a full 64-wide C=120
+    # band (3072 tokens) blows the 16 MB scoped-VMEM stack limit. Largest
+    # divisor of n_win that keeps tokens under budget.
+    tok_budget = _token_budget(c)
+    g_blk = max(g for g in range(1, n_win + 1)
+                if n_win % g == 0 and g * wd * 64 <= tok_budget) \
+        if wd * 64 <= tok_budget else 1
+    nw_blk = n_win // g_blk
+
     wqkv, bqkv = pack_qkv_fused(qkv_k, qkv_b, num_heads, scale,
                                 rowsum_lane=rs_lane is not None)
     wp = pack_proj_self(proj_k, num_heads)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     slab = pl.BlockSpec(
-        (1, wd, 8, w, c),
-        lambda i, j, k2: (i, j, k2, 0, 0),
+        (1, wd, 8, g_blk * 8, c),
+        lambda i, j, k2, l: (i, j, k2, l, 0),
         memory_space=pltpu.VMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _kernel, num_heads=num_heads, n_win=n_win, shifted=shifted,
-        nd=nd, nh_=nh_, safe=safe, rs_lane=rs_lane, wd=wd)
+        _kernel, num_heads=num_heads, n_win=g_blk, shifted=shifted,
+        nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe, rs_lane=rs_lane, wd=wd)
     return pl.pallas_call(
         kernel,
-        grid=(b, nd, nh_),
+        grid=(b, nd, nh_, nw_blk),
         in_specs=[slab] + [vmem()] * 16,
         out_specs=slab,
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), x.dtype),

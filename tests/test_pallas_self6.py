@@ -58,6 +58,15 @@ def test_self1_fused_per_frame_windows_match():
     _ab((0, 0, 0), ws=(1, 8, 8), d=2, h=16, w=16, seed=7)
 
 
+def test_self6_fused_w_chunked_grid_matches():
+    # force the w-chunked grid (scoped-VMEM guard): budget of one window
+    # per program, shifted masks must still pick is_last_w correctly
+    import kair_tpu.ops.pallas.self6_block as s6
+    with mock.patch.object(s6, "_token_budget", lambda c: 384):
+        _ab((3, 4, 4), d=6, h=16, w=32, seed=9)
+        _ab((0, 0, 0), d=6, h=16, w=32, seed=10)
+
+
 def test_self2_fused_2frame_clip_matches():
     # D=2 clips clamp (6,8,8) windows to (2,8,8) (get_window_size) — the
     # self-TMSAG geometry of 2-frame training runs
