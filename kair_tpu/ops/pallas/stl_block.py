@@ -46,7 +46,7 @@ def make_stl2_bias(bias_table, rel_idx, num_heads: int, mask_patterns):
 
 
 def _stl2_kernel(x_ref, *refs, num_heads: int, scale: float, n_win: int,
-                 shifted: bool, nd: int, nh_: int, safe: bool):
+                 shifted: bool, nd: int, nh_: int, nw_blk: int, safe: bool):
     out_ref = refs[-1]
     g_w = n_win
     c = x_ref.shape[-1]
@@ -56,7 +56,10 @@ def _stl2_kernel(x_ref, *refs, num_heads: int, scale: float, n_win: int,
     if shifted:
         ild = jnp.where(pl.program_id(1) == nd - 1, 1, 0)
         ilh = jnp.where(pl.program_id(2) == nh_ - 1, 1, 0)
-        idx_fn = lambda g: 4 * ild + 2 * ilh + jnp.where(g == g_w - 1, 1, 0)
+        # last window along w = last w-chunk AND last window in the chunk
+        ilw_blk = pl.program_id(3) == nw_blk - 1
+        idx_fn = lambda g: 4 * ild + 2 * ilh \
+            + jnp.where(ilw_blk & (g == g_w - 1), 1, 0)
     else:
         idx_fn = lambda g: 0
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
@@ -80,16 +83,25 @@ def _impl(meta, x, flat, bias_pats):
                                         scale)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
-    slab = pl.BlockSpec((1, 2, 8, w, c), lambda i, j, k2: (i, j, k2, 0, 0),
+    # w-chunking against the 16 MB scoped-VMEM stack (see
+    # self6_block._token_budget; single qkv set + plain MLP)
+    tok_budget = 2048 if c <= 128 else 1024
+    g_blk = max(g for g in range(1, n_win + 1)
+                if n_win % g == 0 and g * N <= tok_budget) \
+        if N <= tok_budget else 1
+    nw_blk = n_win // g_blk
+
+    slab = pl.BlockSpec((1, 2, 8, g_blk * 8, c),
+                        lambda i, j, k2, l: (i, j, k2, l, 0),
                         memory_space=pltpu.VMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _stl2_kernel, num_heads=num_heads, scale=scale, n_win=n_win,
-        shifted=shifted, nd=nd, nh_=nh_, safe=safe)
+        _stl2_kernel, num_heads=num_heads, scale=scale, n_win=g_blk,
+        shifted=shifted, nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe)
     bias_dtype = jnp.float32 if bias_pats.shape[0] == 1 else jnp.bfloat16
     return pl.pallas_call(
         kernel,
-        grid=(b, nd, nh_),
+        grid=(b, nd, nh_, nw_blk),
         in_specs=[slab] + [vmem()] * 13,
         out_specs=slab,
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), x.dtype),

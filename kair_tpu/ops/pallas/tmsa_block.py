@@ -129,7 +129,8 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
             fc11w_ref, fc11b_ref, fc12w_ref, fc12b_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
-            nd: int, nh_: int, safe: bool = False, rs_lane=None):
+            nd: int, nh_: int, nw_blk: int = 1, safe: bool = False,
+            rs_lane=None):
     g_w = n_win
     c = x_ref.shape[-1]
     w = x_ref.shape[3]
@@ -157,13 +158,16 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
         # program position; patterns are VMEM-resident)
         ild = jnp.where(pl.program_id(1) == nd - 1, 1, 0)
         ilh = jnp.where(pl.program_id(2) == nh_ - 1, 1, 0)
+        # last window along w = last w-chunk AND last window in the chunk
+        ilw_blk = pl.program_id(3) == nw_blk - 1
 
     mut_cols, self_cols = [], []
     for hd_i in range(num_heads):
         m_list, s_list = [], []
         for g in range(g_w):
             if shifted:
-                idx = 4 * ild + 2 * ilh + jnp.where(g == g_w - 1, 1, 0)
+                idx = 4 * ild + 2 * ilh \
+                    + jnp.where(ilw_blk & (g == g_w - 1), 1, 0)
                 bs = bias_self_ref[idx, hd_i]
                 bm = bias_mut_ref[idx, hd_i]
             else:
@@ -217,18 +221,27 @@ def _impl(meta, x, flat, pos, bias_self, bias_mut):
     wp = pack_proj2(proj_k, num_heads)
     wqkv_s, wqkv_m, wp = (t.astype(x.dtype) for t in (wqkv_s, wqkv_m, wp))
 
+    # w-chunking against the 16 MB scoped-VMEM stack (see
+    # self6_block._token_budget; this kernel holds TWO qkv sets so the
+    # budget is tighter). Largest divisor of n_win under budget.
+    tok_budget = 1024 if c <= 128 else 768
+    g_blk = max(g for g in range(1, n_win + 1)
+                if n_win % g == 0 and g * N <= tok_budget) \
+        if N <= tok_budget else 1
+    nw_blk = n_win // g_blk
+
     slab = pl.BlockSpec(
-        (1, 2, 8, w, c),
-        lambda i, j, k2: (i, j, k2, 0, 0),
+        (1, 2, 8, g_blk * 8, c),
+        lambda i, j, k2, l: (i, j, k2, l, 0),
         memory_space=pltpu.VMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _kernel, num_heads=num_heads, n_win=n_win, shifted=shifted,
-        nd=nd, nh_=nh_, safe=safe, rs_lane=rs_lane)
+        _kernel, num_heads=num_heads, n_win=g_blk, shifted=shifted,
+        nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe, rs_lane=rs_lane)
     bias_dtype = jnp.float32 if bias_self.shape[0] == 1 else jnp.bfloat16
     return pl.pallas_call(
         kernel,
-        grid=(b, nd, nh_),
+        grid=(b, nd, nh_, nw_blk),
         in_specs=[slab] + [vmem()] * 19,
         out_specs=slab,
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), x.dtype),

@@ -120,3 +120,20 @@ def test_stl2_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(leaf), atol=2e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_stl2_fused_w_chunked_grid_matches():
+    """w=144 (18 windows > the 2048-token budget) exercises the w-chunked
+    grid; shifted masks must still pick is_last_w on the last chunk only."""
+    ws = (2, 8, 8)
+    shift = (1, 4, 4)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(1, 2, 16, 144, C) * 0.5, jnp.float32)
+    std = TMSA(C, NH, ws, shift, mut_attn=False, geglu=False)
+    variables = std.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(std.apply(variables, x))
+    fused = TMSA(C, NH, ws, shift, mut_attn=False, geglu=False,
+                 fuse_block=True)
+    with _interpret_stl2():
+        got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

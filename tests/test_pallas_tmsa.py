@@ -112,3 +112,30 @@ def test_tmsa_fused_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(flatf[path]), np.asarray(leaf), atol=2e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_tmsa_fused_w_chunked_grid_matches():
+    """w wide enough to trigger the scoped-VMEM w-chunking (tokens >
+    budget): shifted masks must still pick is_last_w on the LAST chunk
+    only."""
+    # D == 2 == ws[0] clamps the d-shift to 0 (get_window_size) — pass the
+    # clamped shift so the direct kernel call matches the module
+    ss = (0, 4, 4)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(1, 2, 16, 72, C) * 0.5, jnp.float32)
+    model = TMSA(C, NH, WS, ss, mut_attn=True, geglu=True)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(variables, x))
+    flat = tmsa_flat_params(variables["params"])
+    pos = sine_position_encoding(8, 8, C // 2)
+    pos2 = jnp.concatenate([jnp.asarray(pos)] * 2, axis=0)
+    rel_idx = rel_position_index_3d(*WS)[:128, :128]
+    bt = variables["params"]["attn"]["rel_bias_table"]
+    pats = tmsa_mask_patterns(2, 16, 72, WS, ss)
+    bias_self, bias_mut = make_tmsa_biases(bt, rel_idx, NH, pats)
+    import kair_tpu.ops.pallas.tmsa_block as tb
+    xr = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+    got = tmsa_block_pallas(xr, flat, pos2, NH, bias_self, bias_mut,
+                            shifted=True, interpret=True)
+    got = np.asarray(jnp.roll(got, (ss[0], ss[1], ss[2]), axis=(1, 2, 3)))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
