@@ -20,7 +20,8 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 
-def build_preset(model_name: str, model_path: str, training: bool = False):
+def build_preset(model_name: str, model_path: str, training: bool = False,
+                 fuse: bool = False):
     """(model, variables, forward_kind, n_channels) for a released zoo name."""
     import jax.numpy as jnp
     from kair_tpu.ckpt import torch_convert as tc
@@ -55,13 +56,15 @@ def build_preset(model_name: str, model_path: str, training: bool = False):
         return model, variables, "drunet", n_channels
     if model_name.startswith("swinir"):
         # classical x4 default (main_test_swinir.py:130-140)
-        from kair_tpu.models.swinir import SwinIR
+        from kair_tpu.models.swinir import SwinIR, fused_block_params
         model = SwinIR(upscale=4, in_chans=3, embed_dim=180, depths=(6,) * 6,
                        num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0,
-                       upsampler="pixelshuffle")
+                       upsampler="pixelshuffle", fuse_block=fuse)
         sd = load_sd("params")
         variables = tc.convert_swinir(sd, depths=(6,) * 6,
                                       upsampler="pixelshuffle", upscale=4)
+        if fuse:
+            variables = {"params": fused_block_params(variables["params"])}
         return model, variables, "sr4", 3
     if model_name.startswith("msrresnet"):
         from kair_tpu.models.srresnet import MSRResNet0
@@ -109,6 +112,10 @@ def main(argv=None):
     parser.add_argument("--noise_level_img", type=int, default=25)
     parser.add_argument("--x8", action="store_true")
     parser.add_argument("--border", type=int, default=0)
+    parser.add_argument("--fuse", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="fused Pallas attention blocks (swinir): "
+                             "auto = on when a TPU is present")
     args = parser.parse_args(argv)
 
     import jax
@@ -117,7 +124,11 @@ def main(argv=None):
     from kair_tpu.utils.logger import setup_logger
 
     logger = setup_logger("test")
-    model, variables, kind, n_channels = build_preset(args.model_name, args.model_path)
+    fuse = args.fuse == "on" or (args.fuse == "auto"
+                                 and jax.default_backend() not in
+                                 ("cpu",))
+    model, variables, kind, n_channels = build_preset(
+        args.model_name, args.model_path, fuse=fuse)
 
     fwd = jax.jit(lambda a: model.apply(variables, a))
     if kind == "ffdnet":

@@ -104,7 +104,13 @@ class SwinBlock(nn.Module):
             flat = (qkv_kernel, qkv_b, proj_kernel, proj_b, ln1s, ln1b,
                     ln2s, ln2b, fc1k, fc1b, fc2k, fc2b)
             nw = (h // ws) * (w // ws)
-            if n == 64 and h % 8 == 0 and w % 16 == 0 and not train:
+            # strip kernel VMEM cap: one program holds an 8-row strip of
+            # 8·W tokens (~25 MB of f32 intermediates at W=512, C=180 —
+            # over the 16 MB scoped-VMEM stack; W=256 measured safe).
+            # Bigger frames should use tiled eval (eval/test_modes).
+            w_strip_max = max(16, (2048 * 180 // max(c, 1)) // 8 // 16 * 16)
+            if (n == 64 and h % 8 == 0 and w % 16 == 0
+                    and w <= w_strip_max and not train):
                 # inference strip kernel with the cyclic shift FOLDED into
                 # the read (phase = shift - phase_in): no jnp.roll HBM
                 # round-trips; output stays in this block's phase and RSTB
@@ -118,7 +124,7 @@ class SwinBlock(nn.Module):
             assert phase_in == 0, "phase threading requires the strip kernel"
             if shift > 0:
                 x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            if n == 64 and h % 8 == 0 and w % 16 == 0:
+            if n == 64 and h % 8 == 0 and w % 16 == 0 and w <= w_strip_max:
                 # training strip kernel: differentiable (custom VJP, remat
                 # memory profile); explicit rolls (phase=0). safe=True:
                 # training logits are unbounded, so the forward subtracts
@@ -130,18 +136,24 @@ class SwinBlock(nn.Module):
                                          self.num_heads, ln1s, ln1b, ln2s,
                                          ln2b, fc1k, fc1b, fc2k, fc2b, mask,
                                          safe=True)
-            elif n in (49, 64) and not train:
+            elif n in (49, 64) and not train \
+                    and (mask is None or nw <= 256):
                 # window-pair kernel: inference fallback for W % 16 != 0 /
-                # odd window counts, and the native fused path for ws=7
-                # (JPEG-CAR configs, main_test_swinir.py:170-172) — 49-token
-                # windows ride the 64-token kernel via zero-pad + key mask
+                # odd window counts / frames too wide for the strip kernel,
+                # and the native fused path for ws=7 (JPEG-CAR configs,
+                # main_test_swinir.py:170-172) — 49-token windows ride the
+                # 64-token kernel via zero-pad + key mask. Shifted blocks
+                # materialize a per-pair bias, so huge frames (nw > 256)
+                # go to XLA instead of blowing HBM.
                 warn_once(
                     f"swin-pair-fallback-{h}x{w}x{ws}",
                     f"SwinIR fused strip kernel disabled at {h}x{w}, "
-                    f"window {ws} (needs ws==8, H%8==0, W%16==0): using the "
-                    f"window-pair kernel"
+                    f"window {ws} (needs ws==8, H%8==0, W%16==0, "
+                    f"W<={max(16, (2048 * 180 // max(c, 1)) // 8 // 16 * 16)}"
+                    "): using the window-pair kernel"
                     + (" (~1.3x token-pad overhead for ws=7)" if n == 49
-                       else " — pad to these multiples for full speed"))
+                       else " — pad/tile to these multiples for full "
+                            "speed"))
                 from kair_tpu.ops.pallas.swin_block import swin_block_pallas
                 xw = window_partition(x, ws)
                 xw = swin_block_pallas(xw, qkv_kernel, qkv_b, proj_kernel,
