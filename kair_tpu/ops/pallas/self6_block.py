@@ -1,11 +1,14 @@
-"""Fused self-attention + GEGLU TMSA block for (6,8,8) windows — Pallas TPU.
+"""Fused self-attention + GEGLU TMSA block for (wd,8,8) windows — Pallas TPU.
 
-Covers the VRT geometries the (2,8,8) kernel can't: the second (self-only)
-TMSAG of every stage and the RTMSA tail (reference network_vrt.py:855-995,
-stage 8 :1318-1366) run 3-D windows of 6 frames × 8×8 spatial = 384 tokens
-with GEGLU MLPs. One program per (batch, 6-frame slab, 8-row band)
-computes the ENTIRE block — LN1 → W-MSA(384 tokens, rel-pos bias, shift
-mask) → residual → LN2 → GEGLU MLP → residual — in VMEM.
+Covers the VRT geometries the (2,8,8) mutual kernel can't: the second
+(self-only) TMSAG of every stage and the RTMSA tail (reference
+network_vrt.py:855-995, stage 8 :1318-1366) run 3-D windows of wd frames ×
+8×8 spatial (wd=6 → 384 tokens; wd=1 for the per-frame indep_reconsts
+blocks :1358; wd=2 for 2-frame clips) with GEGLU MLPs. One program per
+(batch, wd-frame slab, 8-row band, w-chunk) computes the ENTIRE block —
+LN1 → W-MSA(rel-pos bias, shift mask) → residual → LN2 → GEGLU MLP →
+residual — in VMEM; bands are chunked along W so the unrolled body stays
+under the 16 MB scoped-VMEM stack limit (_token_budget).
 
 Shift masks: at shift (3,4,4) ((0,4,4) when D==6) the windows take at most
 8 distinct mask patterns (is_last_d × is_last_h × is_last_w); the
