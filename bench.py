@@ -53,10 +53,13 @@ def swinir_flops_per_lr_pixel(embed_dim=180, depths=(6,) * 6, num_heads=6,
                  + len(depths) * c * c              # per-RSTB conv
                  + c * c                            # conv_after_body
                  + c * num_feat)                    # conv_before_upsample
-    s, f = upscale, num_feat
+    s, f, area = upscale, num_feat, 1
     while s > 1:
         r = 3 if s % 3 == 0 else 2
-        convs += 9 * f * (f * r * r)
+        # each upsample conv runs AFTER the previous pixel_shuffle, i.e. on
+        # `area` pixels per LR pixel (upsample1 of a x4 head sees 4 pixels)
+        convs += 9 * f * (f * r * r) * area
+        area *= r * r
         s //= r
     convs += 9 * f * in_chans * upscale ** 2        # conv_last at HR size
     return 2.0 * (dense + convs)

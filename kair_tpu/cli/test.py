@@ -124,9 +124,11 @@ def main(argv=None):
     from kair_tpu.utils.logger import setup_logger
 
     logger = setup_logger("test")
+    # Pallas Mosaic kernels lower only on TPU backends ('tpu' natively,
+    # 'axon' through the tunnelled PJRT plugin) — NOT on gpu/cpu
     fuse = args.fuse == "on" or (args.fuse == "auto"
-                                 and jax.default_backend() not in
-                                 ("cpu",))
+                                 and jax.default_backend() in
+                                 ("tpu", "axon"))
     model, variables, kind, n_channels = build_preset(
         args.model_name, args.model_path, fuse=fuse)
 

@@ -111,8 +111,6 @@ def make_lpips_fn(model, variables):
     """`calculate_lpips`-equivalent callable (reference
     utils_image.py:784-827): fn(img1, img2, border=0) on uint8/float RGB
     [0,255] images (HWC; grayscale HW1/HW replicated to 3 channels)."""
-    import functools
-
     apply_jit = jax.jit(lambda a, b: model.apply(variables, a, b))
 
     def fn(img1: np.ndarray, img2: np.ndarray, border: int = 0) -> float:

@@ -104,11 +104,10 @@ class SwinBlock(nn.Module):
             flat = (qkv_kernel, qkv_b, proj_kernel, proj_b, ln1s, ln1b,
                     ln2s, ln2b, fc1k, fc1b, fc2k, fc2b)
             nw = (h // ws) * (w // ws)
-            # strip kernel VMEM cap: one program holds an 8-row strip of
-            # 8·W tokens (~25 MB of f32 intermediates at W=512, C=180 —
-            # over the 16 MB scoped-VMEM stack; W=256 measured safe).
-            # Bigger frames should use tiled eval (eval/test_modes).
-            w_strip_max = max(16, (2048 * 180 // max(c, 1)) // 8 // 16 * 16)
+            # strip kernel VMEM cap (see strip_w_max): bigger frames should
+            # use tiled eval (eval/test_modes)
+            from kair_tpu.ops.pallas.swin_block import strip_w_max
+            w_strip_max = strip_w_max(c)
             if (n == 64 and h % 8 == 0 and w % 16 == 0
                     and w <= w_strip_max and not train):
                 # inference strip kernel with the cyclic shift FOLDED into
@@ -149,8 +148,7 @@ class SwinBlock(nn.Module):
                     f"swin-pair-fallback-{h}x{w}x{ws}",
                     f"SwinIR fused strip kernel disabled at {h}x{w}, "
                     f"window {ws} (needs ws==8, H%8==0, W%16==0, "
-                    f"W<={max(16, (2048 * 180 // max(c, 1)) // 8 // 16 * 16)}"
-                    "): using the window-pair kernel"
+                    f"W<={w_strip_max}): using the window-pair kernel"
                     + (" (~1.3x token-pad overhead for ws=7)" if n == 49
                        else " — pad/tile to these multiples for full "
                             "speed"))

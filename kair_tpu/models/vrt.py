@@ -333,8 +333,11 @@ class TMSA(nn.Module):
             if (tuple(ws) == (2, 8, 8) and d % 2 == 0 and h % 8 == 0
                     and w % 8 == 0):
                 return self._fused_stl2(x, ws, ss)
+            from kair_tpu.ops.pallas.swin_block import strip_w_max
             if (ws[0] == 1 and tuple(ws[1:]) == (8, 8) and h % 8 == 0
-                    and w % 16 == 0):
+                    and w % 16 == 0 and w <= strip_w_max(c)):
+                # same scoped-VMEM width cap as SwinBlock: one strip
+                # program holds 8·W tokens
                 return self._fused_stl1(x, ws, ss)
         if self.fuse_block:
             from kair_tpu.utils.logger import warn_once
@@ -346,7 +349,7 @@ class TMSA(nn.Module):
                 f"{self.mut_attn}, geglu={self.geglu} (slower): fused "
                 "kernels cover (2,8,8) mutual+GEGLU, (wd,8,8) self+GEGLU "
                 "(D%wd==0), (2,8,8) self-only, and (1,8,8) self-only "
-                "(W%16==0) geometries")
+                "(W%16==0, W within the strip VMEM cap) geometries")
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)

@@ -83,9 +83,10 @@ def _impl(meta, x, flat, bias_pats):
                                         scale)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
-    # w-chunking against the 16 MB scoped-VMEM stack (see
-    # self6_block._token_budget; single qkv set + plain MLP)
-    tok_budget = 2048 if c <= 128 else 1024
+    # w-chunking against the 16 MB scoped-VMEM stack (single qkv set +
+    # plain MLP — same budget as the GEGLU kernel)
+    from kair_tpu.ops.pallas.self6_block import _token_budget
+    tok_budget = _token_budget(c)
     g_blk = max(g for g in range(1, n_win + 1)
                 if n_win % g == 0 and g * N <= tok_budget) \
         if N <= tok_budget else 1

@@ -492,7 +492,11 @@ def _fused_2d(meta, x, params, pair_bias):
 
 
 def _fused_2d_fwd(meta, x, params, pair_bias):
-    return _fused_2d_fwd_impl(meta, x, params, pair_bias), \
+    # Under differentiation always run the max-safe softmax: training
+    # logits are unbounded (same guard as the tmsa/stl2/self6 kernels);
+    # non-differentiated calls keep the cheaper max-free primal above.
+    safe_meta = meta[:6] + (True,) + meta[7:]
+    return _fused_2d_fwd_impl(safe_meta, x, params, pair_bias), \
         (x, params, pair_bias)
 
 
@@ -699,6 +703,15 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
       ln2_scale.astype(jnp.float32), ln2_bias.astype(jnp.float32),
       fc1_kernel.astype(x.dtype), fc1_bias.astype(jnp.float32),
       fc2_kernel.astype(x.dtype), fc2_bias.astype(jnp.float32))
+
+
+def strip_w_max(c: int) -> int:
+    """Widest frame the strip kernel can hold in scoped VMEM at channel
+    width `c`: one program materializes an 8-row strip of 8·W tokens
+    (~25 MB of f32 intermediates at W=512, C=180 — over the 16 MB
+    scoped-VMEM stack; W=256 measured safe). Wider frames should use
+    tiled eval (eval/test_modes) or the window-pair kernel."""
+    return max(16, (2048 * 180 // max(c, 1)) // 8 // 16 * 16)
 
 
 def swin_block_pallas_2d(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias,

@@ -64,6 +64,43 @@ def _extend_dim(x: jnp.ndarray, ext: int, axis_name: str, dim: int):
     return jnp.concatenate([from_prev, x, from_next], axis=dim)
 
 
+def _grid_tile_body(x, fn, th, tw, halo, sf, axes, hdim):
+    """Shared per-device body of the 2-D grid-sharded forwards: halo
+    exchange along both tile axes, clamped-window slice, run `fn`, keep own
+    output region. `hdim` is the H axis index (1 for NHWC images, 2 for
+    (B,D,H,W,C) clips); leading dims pass through untouched."""
+    hs, ws = x.shape[hdim], x.shape[hdim + 1]
+    h_total, w_total = hs * th, ws * tw
+    assert 2 * halo <= hs and 2 * halo <= ws, \
+        "2*halo must fit one neighbour tile (single-hop exchange)"
+    # gather 2*halo from each side: rows first, then cols on the
+    # row-extended slab (propagates corner data)
+    ext = _extend_dim(x, 2 * halo, axes[0], hdim)
+    ext = _extend_dim(ext, 2 * halo, axes[1], hdim + 1)
+
+    ih = jax.lax.axis_index(axes[0])
+    iw = jax.lax.axis_index(axes[1])
+    band_h = min(hs + 2 * halo, h_total)
+    band_w = min(ws + 2 * halo, w_total)
+    # global clamped window start; ext slab starts at (i*hs - 2*halo)
+    start_h = jnp.clip(ih * hs - halo, 0, h_total - band_h)
+    start_w = jnp.clip(iw * ws - halo, 0, w_total - band_w)
+    starts = [0] * x.ndim
+    sizes = list(ext.shape)
+    starts[hdim] = start_h - (ih * hs - 2 * halo)
+    starts[hdim + 1] = start_w - (iw * ws - 2 * halo)
+    sizes[hdim], sizes[hdim + 1] = band_h, band_w
+    window = jax.lax.dynamic_slice(ext, starts, sizes)
+
+    y = fn(window)
+    ostarts = [0] * y.ndim
+    osizes = list(y.shape)
+    ostarts[hdim] = (ih * hs - start_h) * sf
+    ostarts[hdim + 1] = (iw * ws - start_w) * sf
+    osizes[hdim], osizes[hdim + 1] = hs * sf, ws * sf
+    return jax.lax.dynamic_slice(y, ostarts, osizes)
+
+
 def make_grid_sharded_fn(fn: Callable, mesh: Mesh, halo: int, sf: int = 1,
                          axes: Tuple[str, str] = ("tileh", "tilew")) -> Callable:
     """EXACT 2-D tile-grid sharded forward with a NON-replicated input.
@@ -91,31 +128,7 @@ def make_grid_sharded_fn(fn: Callable, mesh: Mesh, halo: int, sf: int = 1,
 
     def tile_fn(x):
         # x: this device's tile (N, hs, ws, C)
-        n, hs, ws, c = x.shape
-        h_total, w_total = hs * th, ws * tw
-        assert 2 * halo <= hs and 2 * halo <= ws, \
-            "2*halo must fit one neighbour tile (single-hop exchange)"
-        # gather 2*halo from each side: rows first, then cols on the
-        # row-extended slab (propagates corner data)
-        ext = _extend_dim(x, 2 * halo, axes[0], 1)
-        ext = _extend_dim(ext, 2 * halo, axes[1], 2)
-
-        ih = jax.lax.axis_index(axes[0])
-        iw = jax.lax.axis_index(axes[1])
-        band_h = min(hs + 2 * halo, h_total)
-        band_w = min(ws + 2 * halo, w_total)
-        # global clamped window start; ext slab starts at (i*hs - 2*halo)
-        start_h = jnp.clip(ih * hs - halo, 0, h_total - band_h)
-        start_w = jnp.clip(iw * ws - halo, 0, w_total - band_w)
-        off_h = start_h - (ih * hs - 2 * halo)
-        off_w = start_w - (iw * ws - 2 * halo)
-        window = jax.lax.dynamic_slice(
-            ext, (0, off_h, off_w, 0), (n, band_h, band_w, c))
-
-        y = fn(window)
-        return jax.lax.dynamic_slice(
-            y, (0, (ih * hs - start_h) * sf, (iw * ws - start_w) * sf, 0),
-            (y.shape[0], hs * sf, ws * sf, y.shape[3]))
+        return _grid_tile_body(x, fn, th, tw, halo, sf, axes, hdim=1)
 
     spec = P(None, axes[0], axes[1], None)
     sharded = shard_map(tile_fn, mesh=mesh, in_specs=(spec,),
@@ -181,28 +194,7 @@ def make_grid_sharded_video_fn(fn: Callable, mesh: Mesh, halo: int,
 
     def tile_fn(x):
         # x: this device's tile (B, D, hs, ws, C)
-        b, d, hs, ws, c = x.shape
-        h_total, w_total = hs * th, ws * tw
-        assert 2 * halo <= hs and 2 * halo <= ws, \
-            "2*halo must fit one neighbour tile (single-hop exchange)"
-        ext = _extend_dim(x, 2 * halo, axes[0], 2)
-        ext = _extend_dim(ext, 2 * halo, axes[1], 3)
-
-        ih = jax.lax.axis_index(axes[0])
-        iw = jax.lax.axis_index(axes[1])
-        band_h = min(hs + 2 * halo, h_total)
-        band_w = min(ws + 2 * halo, w_total)
-        start_h = jnp.clip(ih * hs - halo, 0, h_total - band_h)
-        start_w = jnp.clip(iw * ws - halo, 0, w_total - band_w)
-        off_h = start_h - (ih * hs - 2 * halo)
-        off_w = start_w - (iw * ws - 2 * halo)
-        window = jax.lax.dynamic_slice(
-            ext, (0, 0, off_h, off_w, 0), (b, d, band_h, band_w, c))
-
-        y = fn(window)
-        return jax.lax.dynamic_slice(
-            y, (0, 0, (ih * hs - start_h) * sf, (iw * ws - start_w) * sf, 0),
-            (y.shape[0], y.shape[1], hs * sf, ws * sf, y.shape[4]))
+        return _grid_tile_body(x, fn, th, tw, halo, sf, axes, hdim=2)
 
     spec = P(None, None, axes[0], axes[1], None)
     sharded = shard_map(tile_fn, mesh=mesh, in_specs=(spec,),

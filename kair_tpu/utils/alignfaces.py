@@ -49,9 +49,9 @@ def get_reference_facial_points(output_size=(256, 256),
 
 
 def umeyama(src: np.ndarray, dst: np.ndarray,
-            estimate_scale: bool = True, scale: float = 1.0) -> np.ndarray:
+            estimate_scale: bool = True, scale: float = 1.0):
     """Least-squares similarity transform (reference _umeyama :22-91,
-    Umeyama IEEE PAMI 1991). Returns 3x3 homogeneous matrix. With
+    Umeyama IEEE PAMI 1991). Returns (3x3 homogeneous matrix, scale). With
     estimate_scale=False the given `scale` is applied (the reference's
     inverse-transform path passes 1/forward_scale)."""
     num, dim = src.shape
@@ -67,7 +67,7 @@ def umeyama(src: np.ndarray, dst: np.ndarray,
     U, S, V = np.linalg.svd(A)
     rank = np.linalg.matrix_rank(A)
     if rank == 0:
-        return T * np.nan
+        return T * np.nan, scale
     if rank == dim - 1:
         if np.linalg.det(U) * np.linalg.det(V) > 0:
             T[:dim, :dim] = U @ V
@@ -82,20 +82,7 @@ def umeyama(src: np.ndarray, dst: np.ndarray,
         scale = 1.0 / src_d.var(axis=0).sum() * (S @ d)
     T[:dim, dim] = dst_mean - scale * (T[:dim, :dim] @ src_mean.T)
     T[:dim, :dim] *= scale
-    return T
-
-
-def _umeyama_scale(src: np.ndarray, dst: np.ndarray) -> float:
-    """The estimated similarity scale of umeyama(src, dst)."""
-    num, dim = src.shape
-    src_d = src - src.mean(axis=0)
-    dst_d = dst - dst.mean(axis=0)
-    A = dst_d.T @ src_d / num
-    d = np.ones((dim,), np.float64)
-    if np.linalg.det(A) < 0:
-        d[dim - 1] = -1
-    S = np.linalg.svd(A)[1]
-    return float(1.0 / src_d.var(axis=0).sum() * (S @ d))
+    return T, scale
 
 
 def warp_and_crop_face(src_img: np.ndarray, facial_pts: np.ndarray,
@@ -119,9 +106,9 @@ def warp_and_crop_face(src_img: np.ndarray, facial_pts: np.ndarray,
     ref = np.float32(reference_pts)
     if ref.shape[0] == 2:
         ref = ref.T
-    tfm = umeyama(pts, ref)[:2]
-    s = _umeyama_scale(pts, ref)
-    tfm_inv = umeyama(ref, pts, estimate_scale=False, scale=1.0 / s)[:2]
+    T, s = umeyama(pts, ref)
+    tfm = T[:2]
+    tfm_inv = umeyama(ref, pts, estimate_scale=False, scale=1.0 / s)[0][:2]
     face = cv2.warpAffine(src_img, tfm, crop_size, flags=3)
     return face, tfm_inv
 

@@ -329,6 +329,19 @@ def test_fused_2d_safe_softmax_survives_logit_spike():
     out = np.asarray(run(safe=True))
     assert np.isfinite(out).all()
 
+    # under differentiation the custom-VJP forward must force safe=True
+    # even when the caller leaves safe=False (e.g. VRT's _fused_stl1 has
+    # no train flag): grads stay finite on the same overflowing input
+    def loss(xx):
+        return jnp.mean(swin_block_pallas_2d(
+            xx, qkv_k, None, pk, pb, bt, ri, nh, ones, zeros, ones, zeros,
+            fc1k, jnp.zeros((hid,)), fc2k, zeros, None,
+            interpret=True, safe=False) ** 2)
+
+    l, g = jax.value_and_grad(loss)(x)
+    assert np.isfinite(float(l))
+    assert np.isfinite(np.asarray(g)).all()
+
 
 def test_fused_block_hd32_no_rowsum_lane():
     """hd == 32 leaves no free pad lane, so the kernels must take the
