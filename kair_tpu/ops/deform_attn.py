@@ -27,12 +27,18 @@ from kair_tpu.ops.warp import _sample_bilinear
 
 def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
                      offset: jnp.ndarray, kernel: Tuple[int, int] = (3, 3),
-                     heads: int = 12, deformable_groups: int = 12) -> jnp.ndarray:
+                     heads: int = 12, deformable_groups: int = 12,
+                     impl: str = "gather",
+                     _interpret: bool = False) -> jnp.ndarray:
     """q (B,H,W,C); k_feat/v_feat (B, clip, H, W, C) already rotated so that
     clip index n is the KV frame the CUDA path pairs with this query
     (kv[(n+j)%clip], deform_attn_cuda_pt110.cpp:101-105);
     offset (B, clip, H, W, dg*K*2) with (dg, K, (y,x)) channel layout.
-    Returns (B,H,W,C)."""
+    Returns (B,H,W,C).
+
+    impl: 'gather' — XLA patch gathers (cost ∝ index rows, any frame size);
+          'mxu'    — Pallas 2-hot-matmul sampling (ops/pallas/bilin_mm.py,
+                     cost ∝ H·W, wins at small frames where GDA runs)."""
     b, h, w, c = q.shape
     clip = k_feat.shape[1]
     kh, kw = kernel
@@ -57,6 +63,26 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
     # and this halves them (12.2 → 7.2 ms/clip-gather on v5e).
     ky = (jnp.arange(K) // kw - pad).astype(q.dtype)          # (K,)
     kx = (jnp.arange(K) % kw - pad).astype(q.dtype)
+
+    if impl == "mxu":
+        from kair_tpu.ops.pallas.bilin_mm import bilinear_sample_mm
+        kf = k_feat.reshape(b, clip, h, w, dg, cg)
+        vf = v_feat.reshape(b, clip, h, w, dg, cg)
+        both = jnp.concatenate([kf, vf], axis=-1)             # (b,n,h,w,g,2cg)
+        slabs = both.transpose(0, 1, 4, 2, 3, 5).reshape(
+            b * clip * dg, h, w, 2 * cg)
+        off_t = off.transpose(0, 1, 4, 5, 2, 3, 6)            # (b,n,g,K,h,w,2)
+        fy = (gy[None, None, None, None] + ky[:, None, None]
+              + off_t[..., 0]).reshape(b * clip * dg, K * h * w)
+        fx = (gx[None, None, None, None] + kx[:, None, None]
+              + off_t[..., 1]).reshape(b * clip * dg, K * h * w)
+        samp = bilinear_sample_mm(slabs, fy, fx, 256, _interpret)
+        s7 = samp.reshape(b, clip, dg, K, h, w, 2 * cg)
+        s7 = s7.transpose(0, 4, 5, 1, 3, 2, 6)                # (b,h,w,n,K,g,·)
+        k_s = s7[..., :cg].reshape(b, h, w, clip * K, c)
+        v_s = s7[..., cg:].reshape(b, h, w, clip * K, c)
+        return _attend(q, k_s, v_s, heads, hd, scale, b, h, w, c, clip * K)
+
     k_parts = []
     v_parts = []
     for n_c in range(clip):
@@ -81,8 +107,12 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
     # S = clip*K ordered clip-major then tap (the CUDA path's loop order)
     k_s = jnp.concatenate(k_parts, axis=3)                    # (B,H,W,S,C)
     v_s = jnp.concatenate(v_parts, axis=3)
+    return _attend(q, k_s, v_s, heads, hd, scale, b, h, w, c, clip * K)
 
-    S = clip * K
+
+def _attend(q, k_s, v_s, heads, hd, scale, b, h, w, c, S):
+    """Per-pixel attention of one query over its S deformable samples
+    (deform_attn_cuda_pt110.cpp:107-118)."""
     qh = q.reshape(b, h, w, heads, hd) * scale
     kh_ = k_s.reshape(b, h, w, S, heads, hd)
     vh_ = v_s.reshape(b, h, w, S, heads, hd)

@@ -1,0 +1,72 @@
+"""MXU 2-hot-matmul bilinear sampling (ops/pallas/bilin_mm.py) equality
+vs the gather path, incl. the deform_attention impl='mxu' route."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kair_tpu.ops.pallas.bilin_mm import bilinear_sample_mm, _sample_ref
+
+
+def _rand_coords(rng, g, r, h, w):
+    # mostly in-range, some in the zero ring, some far outside, some exact
+    fy = rng.uniform(-2.5, h + 1.5, size=(g, r)).astype(np.float32)
+    fx = rng.uniform(-2.5, w + 1.5, size=(g, r)).astype(np.float32)
+    fy[:, : r // 8] = np.round(fy[:, : r // 8])   # integer coords (w=0 edge)
+    fy[:, -1] = h - 1.0
+    fx[:, -1] = w - 1.0
+    return jnp.asarray(fy), jnp.asarray(fx)
+
+
+@pytest.mark.parametrize("h,w,cs,r", [(16, 16, 48, 300), (8, 24, 24, 64),
+                                      (12, 8, 7, 513)])
+def test_bilinear_mm_matches_gather_ref(h, w, cs, r):
+    rng = np.random.default_rng(0)
+    g = 3
+    feat = jnp.asarray(rng.standard_normal((g, h, w, cs)), jnp.float32)
+    fy, fx = _rand_coords(rng, g, r, h, w)
+    got = bilinear_sample_mm(feat, fy, fx, 128, True)
+    want = _sample_ref(feat, fy, fx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_mm_grads_match_reference():
+    rng = np.random.default_rng(1)
+    g, h, w, cs, r = 2, 10, 12, 8, 50
+    feat = jnp.asarray(rng.standard_normal((g, h, w, cs)), jnp.float32)
+    fy, fx = _rand_coords(rng, g, r, h, w)
+    # keep coords off integer points (floor kink) for finite-diff-free compare
+    fy = jnp.clip(fy, -1.9, h + 0.9) + 0.017
+    fx = jnp.clip(fx, -1.9, w + 0.9) + 0.013
+    ct = jnp.asarray(rng.standard_normal((g, r, cs)), jnp.float32)
+
+    def loss_k(f, y, x):
+        return jnp.sum(bilinear_sample_mm(f, y, x, 64, True) * ct)
+
+    def loss_r(f, y, x):
+        return jnp.sum(_sample_ref(f, y, x) * ct)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(feat, fy, fx)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(feat, fy, fx)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_deform_attention_mxu_matches_gather():
+    from kair_tpu.ops.deform_attn import deform_attention
+    rng = np.random.default_rng(2)
+    b, clip, h, w, c = 1, 2, 16, 16, 24
+    heads = dg = 4
+    q = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((b, clip, h, w, c)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((b, clip, h, w, c)), jnp.float32)
+    off = jnp.asarray(
+        rng.uniform(-6, 6, size=(b, clip, h, w, dg * 9 * 2)), jnp.float32)
+    want = deform_attention(q, kf, vf, off, (3, 3), heads, dg)
+    got = deform_attention(q, kf, vf, off, (3, 3), heads, dg,
+                           impl="mxu", _interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
