@@ -26,6 +26,11 @@ def main(argv=None):
                         help="fused Pallas attention blocks: (2,8,8) "
                              "mutual+GEGLU TMSA groups (vrt) / self-only "
                              "STL blocks in every RSTB (rvrt)")
+    parser.add_argument("--deform", choices=["gather", "mxu"],
+                        default="gather",
+                        help="rvrt deformable-attention sampling path: XLA "
+                             "patch gathers or the Pallas 2-hot-matmul "
+                             "kernel (ops/pallas/bilin_mm.py)")
     parser.add_argument("--k", type=int, default=4)
     args = parser.parse_args(argv)
     args.k = max(2, args.k)        # per_iter divides by k-1
@@ -47,7 +52,8 @@ def main(argv=None):
         from kair_tpu.models.rvrt import RVRT
 
         # released 001 REDS 30-frame cfg
-        model = RVRT(dtype=jnp.bfloat16, fuse_block=args.fuse)
+        model = RVRT(dtype=jnp.bfloat16, fuse_block=args.fuse,
+                     deform_impl=args.deform)
     else:
         from kair_tpu.models.vrt import VRT
 

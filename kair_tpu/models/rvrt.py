@@ -93,6 +93,7 @@ class GuidedDeformAttnPack(nn.Module):
     deformable_groups: int = 12
     clip_size: int = 2
     max_residue_magnitude: float = 10.0
+    deform_impl: str = "gather"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -144,7 +145,7 @@ class GuidedDeformAttnPack(nn.Module):
                             for n in range(self.clip_size)], axis=1)
             outs.append(deform_attention(
                 q_p[:, j], kj, vj, offset[:, j], self.attention_window,
-                self.attention_heads, dg))
+                self.attention_heads, dg, impl=self.deform_impl))
         out = jnp.stack(outs, axis=1)                    # (B,t,H,W,2C)
 
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -180,6 +181,7 @@ class RVRT(nn.Module):
     nonblind_denoising: bool = False
     remat: bool = False
     fuse_block: bool = False
+    deform_impl: str = "gather"
     dtype: Optional[Any] = None
 
     # ---- shared submodule builders (identical names/args for the full
@@ -197,8 +199,8 @@ class RVRT(nn.Module):
         return GuidedDeformAttnPack(
             self.embed_dims[1], self.attention_window,
             self.attention_heads, self.deformable_groups, self.clip_size,
-            self.max_residue_magnitude, dtype=self.dtype,
-            name=f"deform_{module}")
+            self.max_residue_magnitude, deform_impl=self.deform_impl,
+            dtype=self.dtype, name=f"deform_{module}")
 
     def _backbone(self, module: str):
         bi = ["backward_1", "forward_1", "backward_2", "forward_2"].index(module)

@@ -70,3 +70,32 @@ def test_deform_attention_mxu_matches_gather():
                            impl="mxu", _interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_rvrt_deform_mxu_matches_gather():
+    """Full tiny-RVRT forward with deform_impl='mxu' == default path."""
+    from unittest import mock
+    from kair_tpu.models.rvrt import RVRT
+
+    def tiny(impl):
+        return RVRT(upscale=4, clip_size=2, window_size=(2, 4, 4),
+                    num_blocks=(1, 1, 1), depths=(1, 1, 1),
+                    embed_dims=(16, 16, 16), num_heads=(2, 2, 2),
+                    inputconv_groups=(1, 1, 1, 1, 1, 1),
+                    deformable_groups=2, attention_heads=2,
+                    attention_window=(3, 3), deform_impl=impl)
+
+    import kair_tpu.ops.pallas.bilin_mm as bm
+    orig = bm._fwd_impl
+    patch = mock.patch.object(
+        bm, "_fwd_impl", lambda f, y, x, rt, _i: orig(f, y, x, rt, True))
+
+    rng = np.random.RandomState(3)
+    lqs = rng.rand(1, 4, 64, 64, 3).astype(np.float32)
+    model_g = tiny("gather")
+    variables = model_g.init(jax.random.PRNGKey(0), lqs)
+    want = np.asarray(model_g.apply(variables, lqs))
+    with patch:
+        got = np.asarray(tiny("mxu").apply(variables, lqs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
