@@ -28,9 +28,9 @@ def main(argv=None):
                              "STL blocks in every RSTB (rvrt)")
     parser.add_argument("--deform", choices=["gather", "mxu"],
                         default="gather",
-                        help="rvrt deformable-attention sampling path: XLA "
-                             "patch gathers or the Pallas 2-hot-matmul "
-                             "kernel (ops/pallas/bilin_mm.py)")
+                        help="deformable sampling path (rvrt GDA / vrt "
+                             "DCN): XLA patch gathers or the Pallas "
+                             "2-hot-matmul kernel (ops/pallas/bilin_mm.py)")
     parser.add_argument("--k", type=int, default=4)
     args = parser.parse_args(argv)
     args.k = max(2, args.k)        # per_iter divides by k-1
@@ -58,7 +58,7 @@ def main(argv=None):
         from kair_tpu.models.vrt import VRT
 
         model = VRT(deformable_groups=12, dtype=jnp.bfloat16,
-                    fuse_block=args.fuse)
+                    fuse_block=args.fuse, deform_impl=args.deform)
     x = jnp.asarray(np.random.RandomState(0).rand(
         args.batch, args.frames, args.size, args.size, 3), jnp.float32)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))

@@ -650,6 +650,7 @@ class DCNv2PackFlowGuided(nn.Module):
     deformable_groups: int = 16
     max_residue_magnitude: float = 10.0
     pa_frames: int = 2
+    deform_impl: str = "gather"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -686,7 +687,8 @@ class DCNv2PackFlowGuided(nn.Module):
         bias = self.param("dcn_bias", nn.initializers.zeros, (self.dim,))
         return modulated_deform_conv(x, offset, mask, weight, bias,
                                      stride=1, padding=1, dilation=1,
-                                     deformable_groups=dg)
+                                     deformable_groups=dg,
+                                     impl=self.deform_impl)
 
 
 class Stage(nn.Module):
@@ -705,6 +707,7 @@ class Stage(nn.Module):
     reshape: str = "none"
     max_residue_magnitude: float = 10.0
     fuse_block: bool = False
+    deform_impl: str = "gather"
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -747,7 +750,8 @@ class Stage(nn.Module):
         if self.pa_frames:
             pa_deform = DCNv2PackFlowGuided(
                 self.dim, self.deformable_groups, self.max_residue_magnitude,
-                self.pa_frames, dtype=self.dtype, name="pa_deform")
+                self.pa_frames, deform_impl=self.deform_impl,
+                dtype=self.dtype, name="pa_deform")
             aligner = {2: _aligned_2frames, 4: _aligned_4frames,
                        6: _aligned_6frames}[self.pa_frames]
             x_backward, x_forward = aligner(x, flows_backward, flows_forward,
@@ -892,6 +896,7 @@ class VRT(nn.Module):
     # (reference :1270 indep_reconsts=[11,12]; [] for frame interpolation)
     indep_reconsts: Optional[Tuple[int, ...]] = None
     fuse_block: bool = False
+    deform_impl: str = "gather"
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -985,6 +990,7 @@ class VRT(nn.Module):
                           pa_frames=self.pa_frames,
                           deformable_groups=self.deformable_groups,
                           fuse_block=self.fuse_block,
+                          deform_impl=self.deform_impl,
                           remat=self.remat, dtype=self.dtype)
         scales = [1, 2, 4, 8, 4, 2, 1]
 

@@ -163,7 +163,9 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,
                           stride: int = 1, padding: int = 1,
                           dilation: int = 1,
-                          deformable_groups: int = 1) -> jnp.ndarray:
+                          deformable_groups: int = 1,
+                          impl: str = "gather",
+                          _interpret: bool = False) -> jnp.ndarray:
     """DCNv2 (torchvision deform_conv2d semantics) on NHWC.
 
     x      (N, H, W, Cin)
@@ -171,6 +173,8 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
            interleaved (y,x) pairs: channel 2k = Δy_k, 2k+1 = Δx_k
     mask   (N, Ho, Wo, dg*K)    — already sigmoided
     weight (kh, kw, Cin, Cout)  HWIO
+    impl   'gather' (XLA patch gathers) | 'mxu' (Pallas 2-hot-matmul
+           sampling, ops/pallas/bilin_mm.py — wins at small frames)
     """
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
@@ -194,12 +198,40 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
     m = mask.reshape(n, ho, wo, dg, K)
 
     cg = cin // dg
+    xg = x.reshape(n, h, w, dg, cg)
+
+    if impl == "mxu":
+        from kair_tpu.ops.pallas.bilin_mm import bilinear_sample_mm
+        slabs = xg.transpose(0, 3, 1, 2, 4).reshape(n * dg, h, w, cg)
+        # rows tap-major per (n, g), matching the gather path's col order
+        fy = (gy[None, None, None] + ky[:, None, None]
+              + dy.transpose(0, 3, 4, 1, 2)).reshape(n * dg, K * ho * wo)
+        fx = (gx[None, None, None] + kx[:, None, None]
+              + dx.transpose(0, 3, 4, 1, 2)).reshape(n * dg, K * ho * wo)
+        samp = bilinear_sample_mm(slabs, fy, fx, 256, _interpret)
+        s6 = samp.reshape(n, dg, K, ho, wo, cg)
+        s6 = s6 * m.transpose(0, 3, 4, 1, 2)[..., None].astype(s6.dtype)
+        cols = s6.transpose(0, 3, 4, 1, 2, 5).reshape(n, ho, wo, dg * K * cg)
+    else:
+        cols = _dcn_cols_gather(xg, gy, gx, ky, kx, dy, dx, m,
+                                n, ho, wo, K, dg, cg)
+    # weight reorder to match col layout: dg groups × K × cg — torch weight
+    # is (kh,kw,Cin,Cout) with Cin = dg*cg ordered [g, cg]
+    wmat = weight.reshape(K, dg, cg, cout).transpose(1, 0, 2, 3).reshape(
+        dg * K * cg, cout)
+    out = jnp.einsum("nhwk,ko->nhwo", cols, wmat.astype(cols.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _dcn_cols_gather(xg, gy, gx, ky, kx, dy, dx, m, n, ho, wo, K, dg, cg):
     # gather granularity (measured on v5e): python loop over dg with a
     # vmapped K-tap gather inside — 1.5x faster than one (dg,K)-vmapped
     # gather (many small index sets beat one big one on the TPU gather
     # path) while keeping the HLO at dg subgraphs per call, not dg*K
     # (the fully unrolled loop made the 13-stage VRT uncompilable)
-    xg = x.reshape(n, h, w, dg, cg)
     outs = []
     for g in range(dg):
         fy_g = gy[None, None] + ky[:, None, None, None] \
@@ -210,13 +242,4 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
             xg[:, :, :, g, :], fy, fx, "zeros"))(fy_g, fx_g)
         s = s * m[:, :, :, g, :].transpose(3, 0, 1, 2)[..., None]
         outs.append(s.transpose(1, 2, 3, 0, 4).reshape(n, ho, wo, K * cg))
-    cols = jnp.concatenate(outs, axis=-1) if dg > 1 else outs[0]
-    # weight reorder to match col layout: dg groups × K × cg — torch weight
-    # is (kh,kw,Cin,Cout) with Cin = dg*cg ordered [g, cg]
-    wmat = weight.reshape(K, dg, cg, cout).transpose(1, 0, 2, 3).reshape(
-        dg * K * cg, cout)
-    out = jnp.einsum("nhwk,ko->nhwo", cols, wmat.astype(cols.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out
+    return jnp.concatenate(outs, axis=-1) if dg > 1 else outs[0]

@@ -99,3 +99,54 @@ def test_rvrt_deform_mxu_matches_gather():
     with patch:
         got = np.asarray(tiny("mxu").apply(variables, lqs))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_modulated_deform_conv_mxu_matches_gather():
+    from kair_tpu.ops.warp import modulated_deform_conv
+    rng = np.random.default_rng(4)
+    n, h, w, cin, cout, dg = 2, 12, 20, 8, 10, 2
+    K = 9
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)), jnp.float32)
+    offset = jnp.asarray(rng.uniform(-4, 4, (n, h, w, dg * 2 * K)),
+                         jnp.float32)
+    mask = jax.nn.sigmoid(
+        jnp.asarray(rng.standard_normal((n, h, w, dg * K)), jnp.float32))
+    weight = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                         jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    want = modulated_deform_conv(x, offset, mask, weight, bias,
+                                 deformable_groups=dg)
+    got = modulated_deform_conv(x, offset, mask, weight, bias,
+                                deformable_groups=dg, impl="mxu",
+                                _interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_vrt_deform_mxu_matches_gather():
+    """Full tiny-VRT forward (8 stages, all flow-pyramid scales) with
+    deform_impl='mxu' == default path (f32 reassociation noise only)."""
+    from unittest import mock
+    from pathlib import Path
+    from kair_tpu.models.vrt import VRT
+
+    def tiny(impl):
+        return VRT(upscale=4, in_chans=3, out_chans=3,
+                   window_size=(2, 8, 8), depths=(2,) * 8,
+                   embed_dims=(12,) * 7 + (16,), num_heads=(2,) * 8,
+                   pa_frames=2, deformable_groups=2, deform_impl=impl)
+
+    import kair_tpu.ops.pallas.bilin_mm as bm
+    orig = bm._fwd_impl
+    z = np.load(Path(__file__).parent / "fixtures" / "model_vrt.npz")
+    x = z["x"].transpose(0, 1, 3, 4, 2)
+    model_g = tiny("gather")
+    variables = model_g.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model_g.apply(variables, x))
+    with mock.patch.object(
+            bm, "_fwd_impl",
+            lambda f, fy, fx, rt, _i: orig(f, fy, fx, rt, True)):
+        got = np.asarray(tiny("mxu").apply(variables, x))
+    d = np.abs(got - want)
+    assert d.max() < 2e-3 and d.mean() < 5e-5, (d.max(), d.mean())
