@@ -45,24 +45,27 @@ from kair_tpu.ops.warp import _sample_bilinear_patch
 
 def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
             csp: int):
-    fy = coords_ref[0, :, 0]
-    fx = coords_ref[0, :, 1]
-    rt = fy.shape[0]
+    # all intermediates stay 2-D (Mosaic-friendly): per-row scalars are
+    # (Rt, 1) columns from a static lane slice, never 1-D vectors
+    cds = coords_ref[0]                      # (Rt, 2)
+    fy = cds[:, 0:1]
+    fx = cds[:, 1:2]
+    rt = cds.shape[0]
     dt = slab_ref.dtype
 
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
-    wy = (fy - y0).astype(dt)
+    wy = (fy - y0).astype(dt)                # (Rt, 1)
     wx = (fx - x0).astype(dt)
-    y0i = y0.astype(jnp.int32)[:, None]
-    x0i = x0.astype(jnp.int32)[:, None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
 
     ih = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1)
-    ry = (jnp.where(ih == y0i, (1.0 - wy)[:, None], 0.0)
-          + jnp.where(ih == y0i + 1, wy[:, None], 0.0)).astype(dt)
+    ry = (jnp.where(ih == y0i, 1.0 - wy, 0.0)
+          + jnp.where(ih == y0i + 1, wy, 0.0)).astype(dt)
     iw = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
-    cx = (jnp.where(iw == x0i, (1.0 - wx)[:, None], 0.0)
-          + jnp.where(iw == x0i + 1, wx[:, None], 0.0)).astype(dt)
+    cx = (jnp.where(iw == x0i, 1.0 - wx, 0.0)
+          + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
 
     a = jnp.dot(ry, slab_ref[0], preferred_element_type=jnp.float32)
     m = a.astype(dt) * jnp.tile(cx, (1, csp))
