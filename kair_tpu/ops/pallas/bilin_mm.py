@@ -44,7 +44,7 @@ from kair_tpu.ops.warp import _sample_bilinear_patch
 
 
 def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
-            csp: int):
+            csp: int, variant: str = "fold"):
     # all intermediates stay 2-D (Mosaic-friendly): per-row scalars are
     # (Rt, 1) columns from a static lane slice, never 1-D vectors
     cds = coords_ref[0]                      # (Rt, 2)
@@ -69,7 +69,11 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
 
     a = jnp.dot(ry, slab_ref[0], preferred_element_type=jnp.float32)
     m = a.astype(dt) * jnp.tile(cx, (1, csp))
-    out = jnp.dot(m, p_ref[:], preferred_element_type=jnp.float32)
+    if variant == "reduce":
+        # lanes are c-major (c*W + x): split and sum the W lanes per c
+        out = jnp.sum(m.reshape(rt, csp, w), axis=2)
+    else:
+        out = jnp.dot(m, p_ref[:], preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(dt)
 
 
@@ -79,9 +83,10 @@ def _fold_matrix(w: int, csp: int, dtype) -> jnp.ndarray:
     return (lane_c[:, None] == jnp.arange(csp)[None, :]).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def bilinear_sample_mm(feat: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray,
-                       rt: int = 256, interpret: bool = False) -> jnp.ndarray:
+                       rt: int = 256, interpret: bool = False,
+                       variant: str = "fold") -> jnp.ndarray:
     """Bilinear 'zeros' sampling of feat (G, H, W, Cs) at float pixel
     coordinates fy/fx (G, R) → (G, R, Cs), computed on the MXU (no gather).
 
@@ -90,10 +95,10 @@ def bilinear_sample_mm(feat: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray,
     slab fits VMEM (the deformable wrapper routes large frames to the
     gather path).
     """
-    return _fwd_impl(feat, fy, fx, rt, interpret)
+    return _fwd_impl(feat, fy, fx, rt, interpret, variant)
 
 
-def _fwd_impl(feat, fy, fx, rt, interpret):
+def _fwd_impl(feat, fy, fx, rt, interpret, variant="fold"):
     g, h, w, cs = feat.shape
     r = fy.shape[1]
     # lane dim Cs*W must tile cleanly; pad Cs up so (Cs*W) % 128 == 0
@@ -115,7 +120,7 @@ def _fwd_impl(feat, fy, fx, rt, interpret):
     p = _fold_matrix(w, csp, slab.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, csp=csp),
+        functools.partial(_kernel, h=h, w=w, csp=csp, variant=variant),
         grid=(g, rp // rt),
         in_specs=[
             pl.BlockSpec((1, rt, 2), lambda gi, ri: (gi, ri, 0)),
@@ -134,11 +139,11 @@ def _sample_ref(feat, fy, fx):
     return _sample_bilinear_patch(feat, fy[..., None], fx[..., None])[..., 0, :]
 
 
-def _vjp_fwd(feat, fy, fx, rt, interpret):
-    return _fwd_impl(feat, fy, fx, rt, interpret), (feat, fy, fx)
+def _vjp_fwd(feat, fy, fx, rt, interpret, variant):
+    return _fwd_impl(feat, fy, fx, rt, interpret, variant), (feat, fy, fx)
 
 
-def _vjp_bwd(rt, interpret, res, g):
+def _vjp_bwd(rt, interpret, variant, res, g):
     feat, fy, fx = res
     _, pullback = jax.vjp(_sample_ref, feat, fy, fx)
     return pullback(g)
