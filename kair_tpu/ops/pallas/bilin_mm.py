@@ -68,7 +68,15 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
           + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
 
     a = jnp.dot(ry, slab_ref[0], preferred_element_type=jnp.float32)
-    m = a.astype(dt) * jnp.tile(cx, (1, csp))
+    if variant == "iota":
+        # tile-free fallback: expanded column weights straight from the
+        # lane index (lanes are c-major, x = lane % W)
+        xl = jax.lax.broadcasted_iota(jnp.int32, (rt, csp * w), 1) % w
+        cxe = (jnp.where(xl == x0i, 1.0 - wx, 0.0)
+               + jnp.where(xl == x0i + 1, wx, 0.0)).astype(dt)
+    else:
+        cxe = jnp.tile(cx, (1, csp))
+    m = a.astype(dt) * cxe
     if variant == "reduce":
         # lanes are c-major (c*W + x): split and sum the W lanes per c
         out = jnp.sum(m.reshape(rt, csp, w), axis=2)

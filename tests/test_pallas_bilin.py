@@ -152,12 +152,13 @@ def test_vrt_deform_mxu_matches_gather():
     assert d.max() < 2e-3 and d.mean() < 5e-5, (d.max(), d.mean())
 
 
-def test_bilinear_mm_reduce_variant_matches():
+@pytest.mark.parametrize("variant", ["reduce", "iota"])
+def test_bilinear_mm_variants_match(variant):
     rng = np.random.default_rng(6)
     g, h, w, cs, r = 2, 16, 16, 48, 200
     feat = jnp.asarray(rng.standard_normal((g, h, w, cs)), jnp.float32)
     fy, fx = _rand_coords(rng, g, r, h, w)
-    got = bilinear_sample_mm(feat, fy, fx, 128, True, "reduce")
+    got = bilinear_sample_mm(feat, fy, fx, 128, True, variant)
     want = _sample_ref(feat, fy, fx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
