@@ -71,7 +71,8 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
                 fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                 *, num_heads: int, scale: float,
                 g_blk: int, bias_mode: str, safe: bool = False,
-                bias_idx_fn=None, rowsum_lane: bool = False):
+                bias_idx_fn=None, rowsum_lane: bool = False,
+                affine_folded: bool = False):
     """x0 (g_blk*128, C) window-pair-major tokens → block output, same layout.
 
     qkv runs as ONE (T, C)@(C, nh*96) matmul (pack_weights_fused layout,
@@ -86,6 +87,11 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
         mu = jnp.mean(vf, axis=-1, keepdims=True)
         var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
         y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        if affine_folded:
+            # inference: the LN affine lives in the packed qkv/fc1 weights
+            # (pack-time fold, _fused_2d_fwd_impl) — saves 2 VPU passes
+            # over (T, C) per LN
+            return y.astype(dtype)
         return (y * s_ref[:] + b_ref[:]).astype(dtype)
 
     x = layernorm(x0, ln1s_ref, ln1b_ref)
@@ -167,7 +173,8 @@ def _kernel(x_ref, *refs, num_heads: int, scale: float,
 
 def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
                pairs_per_block: int, bias_mode: str, safe: bool = False,
-               phase: int = 0, rowsum_lane: bool = False):
+               phase: int = 0, rowsum_lane: bool = False,
+               affine_folded: bool = False):
     """Strip layout: x_ref (1, 8, W, C) — one window-row strip. The window
     partition/reverse is pure VMEM relayout here instead of XLA HBM
     round-trips between blocks.
@@ -197,7 +204,7 @@ def _kernel_2d(x_ref, *refs, num_heads: int, scale: float,
     x0 = x4.reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
                     g_blk=g_blk, bias_mode=bias_mode, safe=safe,
-                    rowsum_lane=rowsum_lane)
+                    rowsum_lane=rowsum_lane, affine_folded=affine_folded)
     y4 = y.reshape(nwin, 8, 8, c).transpose(1, 0, 2, 3)
     out_ref[0] = y4.reshape(8, w, c)
 
@@ -646,6 +653,19 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
     rl = (c // num_heads) < _HD_PAD
     wqkv, bqkv, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
                                         num_heads, scale, rowsum_lane=rl)
+    fold_ln = not safe
+    if fold_ln:
+        # inference: fold the LN affines into the packed matmuls —
+        # qkv(y*s1+b1) = y @ (s1⊙Wqkv) + (b1@Wqkv + bqkv), same for fc1;
+        # residuals bypass LN so this is exact (f32 pack-time algebra).
+        # Training keeps the explicit affine (the Pallas backward computes
+        # dln1s/dln1b from the original parameterization).
+        f32 = jnp.float32
+        bqkv = ln1_bias.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
+        wqkv = ln1_scale.astype(f32)[:, None] * wqkv.astype(f32)
+        fc1_bias = (ln2_bias.astype(f32) @ fc1_kernel.astype(f32)
+                    + fc1_bias.astype(f32))
+        fc1_kernel = ln2_scale.astype(f32)[:, None] * fc1_kernel.astype(f32)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 128, 128),
@@ -662,7 +682,7 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
     kernel = functools.partial(
         _kernel_2d, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
         bias_mode="const" if bias_is_constant else "strip2", safe=safe,
-        phase=phase, rowsum_lane=rl)
+        phase=phase, rowsum_lane=rl, affine_folded=fold_ln)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     strip_spec = pl.BlockSpec(
         (1, 8, w, c), lambda i: (i // nr, jax.lax.rem(i, nr), 0, 0),
