@@ -75,7 +75,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
             fc11w_ref, fc11b_ref, fc12w_ref, fc12b_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
-            nd: int, nh_: int, nw_blk: int, safe: bool, rs_lane, wd: int):
+            nd: int, nh_: int, nw_blk: int, safe: bool, rs_lane, wd: int,
+            affine_folded: bool = False):
     g_w = n_win
     n_tok = wd * 64
     c = x_ref.shape[-1]
@@ -90,6 +91,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, rel_ref, mask_ref,
         mu = jnp.mean(vf, axis=-1, keepdims=True)
         var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
         y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        if affine_folded:
+            # inference: affines live in the packed qkv/fc1 weights (_impl)
+            return y.astype(dtype)
         return (y * s_ref[:] + b_ref[:]).astype(dtype)
 
     h = layernorm(x0, ln1s_ref, ln1b_ref)
@@ -179,6 +183,17 @@ def _impl(meta, x, flat, rel, mask_pats):
     wqkv, bqkv = pack_qkv_fused(qkv_k, qkv_b, num_heads, scale,
                                 rowsum_lane=rs_lane is not None)
     wp = pack_proj_self(proj_k, num_heads)
+    fold_ln = not safe
+    if fold_ln:
+        # inference: fold LN affines into the packed matmuls (exact —
+        # residuals bypass LN; see swin_block._fused_2d_fwd_impl)
+        f32 = jnp.float32
+        bqkv = ln1b.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
+        wqkv = ln1s.astype(f32)[:, None] * wqkv.astype(f32)
+        fc11b = ln2b.astype(f32) @ fc11k.astype(f32) + fc11b.astype(f32)
+        fc11k = ln2s.astype(f32)[:, None] * fc11k.astype(f32)
+        fc12b = ln2b.astype(f32) @ fc12k.astype(f32) + fc12b.astype(f32)
+        fc12k = ln2s.astype(f32)[:, None] * fc12k.astype(f32)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     slab = pl.BlockSpec(
@@ -188,7 +203,8 @@ def _impl(meta, x, flat, rel, mask_pats):
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, n_win=g_blk, shifted=shifted,
-        nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe, rs_lane=rs_lane, wd=wd)
+        nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe, rs_lane=rs_lane, wd=wd,
+        affine_folded=fold_ln)
     return pl.pallas_call(
         kernel,
         grid=(b, nd, nh_, nw_blk),

@@ -46,7 +46,8 @@ def make_stl2_bias(bias_table, rel_idx, num_heads: int, mask_patterns):
 
 
 def _stl2_kernel(x_ref, *refs, num_heads: int, scale: float, n_win: int,
-                 shifted: bool, nd: int, nh_: int, nw_blk: int, safe: bool):
+                 shifted: bool, nd: int, nh_: int, nw_blk: int, safe: bool,
+                 affine_folded: bool = False):
     out_ref = refs[-1]
     g_w = n_win
     c = x_ref.shape[-1]
@@ -64,7 +65,7 @@ def _stl2_kernel(x_ref, *refs, num_heads: int, scale: float, n_win: int,
         idx_fn = lambda g: 0
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
                     g_blk=g_w, bias_mode="select", safe=safe,
-                    bias_idx_fn=idx_fn)
+                    bias_idx_fn=idx_fn, affine_folded=affine_folded)
     y4 = y.reshape(g_w, 2, 8, 8, c).transpose(1, 2, 0, 3, 4)
     out_ref[0] = y4.reshape(2, 8, w, c)
 
@@ -81,6 +82,15 @@ def _impl(meta, x, flat, bias_pats):
 
     wqkv, bqkv, wp = pack_weights_fused(qkv_k, qkv_b, proj_k, num_heads,
                                         scale)
+    fold_ln = not safe
+    if fold_ln:
+        # inference: fold LN affines into packed qkv/fc1 (exact; see
+        # swin_block._fused_2d_fwd_impl)
+        f32 = jnp.float32
+        bqkv = ln1b.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
+        wqkv = ln1s.astype(f32)[:, None] * wqkv.astype(f32)
+        fc1b = ln2b.astype(f32) @ fc1k.astype(f32) + fc1b.astype(f32)
+        fc1k = ln2s.astype(f32)[:, None] * fc1k.astype(f32)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     # w-chunking against the 16 MB scoped-VMEM stack (single qkv set +
@@ -98,7 +108,8 @@ def _impl(meta, x, flat, bias_pats):
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _stl2_kernel, num_heads=num_heads, scale=scale, n_win=g_blk,
-        shifted=shifted, nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe)
+        shifted=shifted, nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe,
+        affine_folded=fold_ln)
     bias_dtype = jnp.float32 if bias_pats.shape[0] == 1 else jnp.bfloat16
     return pl.pallas_call(
         kernel,

@@ -130,6 +130,7 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
             fc2w_ref, fc2b_ref, out_ref, *,
             num_heads: int, n_win: int, shifted: bool,
             nd: int, nh_: int, nw_blk: int = 1, safe: bool = False,
+            ln2_folded: bool = False,
             rs_lane=None):
     g_w = n_win
     c = x_ref.shape[-1]
@@ -139,11 +140,15 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
     x0 = x4.reshape(g_w * N, c)
     dtype = x0.dtype
 
-    def layernorm(v, s_ref, b_ref):
+    def layernorm(v, s_ref, b_ref, folded=False):
         vf = v.astype(jnp.float32)
         mu = jnp.mean(vf, axis=-1, keepdims=True)
         var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
         y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        if folded:
+            # inference: LN2 affine lives in the packed fc11/fc12 weights
+            # (LN1 can't fold — the mutual path adds pos AFTER the affine)
+            return y.astype(dtype)
         return (y * s_ref[:] + b_ref[:]).astype(dtype)
 
     h = layernorm(x0, ln1s_ref, ln1b_ref)
@@ -188,7 +193,7 @@ def _kernel(x_ref, wqkv_s_ref, bqkv_s_ref, wqkv_m_ref, bqkv_m_ref,
         + bp_ref[:]
     x1 = x0.astype(jnp.float32) + attn
 
-    h2 = layernorm(x1, ln2s_ref, ln2b_ref)
+    h2 = layernorm(x1, ln2s_ref, ln2b_ref, folded=ln2_folded)
     a = jnp.dot(h2, fc11w_ref[:], preferred_element_type=jnp.float32) \
         + fc11b_ref[:]
     a = _gelu_fast(a)
@@ -219,6 +224,16 @@ def _impl(meta, x, flat, pos, bias_self, bias_mut):
     wqkv_m, bqkv_m = pack_qkv_fused(qkv_m_k, qkv_m_b, num_heads, scale,
                                     rowsum_lane=rs_lane is not None)
     wp = pack_proj2(proj_k, num_heads)
+    fold_ln2 = not safe
+    if fold_ln2:
+        # inference: fold the LN2 affine into fc11/fc12 (exact; see
+        # swin_block._fused_2d_fwd_impl). LN1 stays explicit — the mutual
+        # qkv input adds pos AFTER the affine.
+        f32 = jnp.float32
+        fc11b = ln2b.astype(f32) @ fc11k.astype(f32) + fc11b.astype(f32)
+        fc11k = ln2s.astype(f32)[:, None] * fc11k.astype(f32)
+        fc12b = ln2b.astype(f32) @ fc12k.astype(f32) + fc12b.astype(f32)
+        fc12k = ln2s.astype(f32)[:, None] * fc12k.astype(f32)
     wqkv_s, wqkv_m, wp = (t.astype(x.dtype) for t in (wqkv_s, wqkv_m, wp))
 
     # w-chunking against the 16 MB scoped-VMEM stack (see
@@ -237,7 +252,8 @@ def _impl(meta, x, flat, pos, bias_self, bias_mut):
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, n_win=g_blk, shifted=shifted,
-        nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe, rs_lane=rs_lane)
+        nd=nd, nh_=nh_, nw_blk=nw_blk, safe=safe, rs_lane=rs_lane,
+        ln2_folded=fold_ln2)
     bias_dtype = jnp.float32 if bias_self.shape[0] == 1 else jnp.bfloat16
     return pl.pallas_call(
         kernel,
