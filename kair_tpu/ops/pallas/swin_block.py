@@ -160,14 +160,14 @@ def _block_body(x0, wqkv_ref, bqkv_ref,
 
 def _kernel(x_ref, *refs, num_heads: int, scale: float,
             pairs_per_block: int, bias_mode: str,
-            rowsum_lane: bool = False):
+            rowsum_lane: bool = False, affine_folded: bool = False):
     out_ref = refs[-1]
     g_blk = pairs_per_block
     c = x_ref.shape[-1]
     x0 = x_ref[:].reshape(g_blk * 128, c)
     y = _block_body(x0, *refs[:-1], num_heads=num_heads, scale=scale,
                     g_blk=g_blk, bias_mode=bias_mode,
-                    rowsum_lane=rowsum_lane)
+                    rowsum_lane=rowsum_lane, affine_folded=affine_folded)
     out_ref[:] = y.reshape(g_blk, 128, c)
 
 
@@ -813,6 +813,14 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     rl = hd < _HD_PAD
     wqkv, bqkv, wp = pack_weights_fused(qkv_kernel, qkv_bias, proj_kernel,
                                         num_heads, scale, rowsum_lane=rl)
+    # this entry is the inference fallback (training routes through the
+    # jnp path) — always fold the LN affines into the packed matmuls
+    f32 = jnp.float32
+    bqkv = ln1_bias.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
+    wqkv = ln1_scale.astype(f32)[:, None] * wqkv.astype(f32)
+    fc1_bias = ln2_bias.astype(f32) @ fc1_kernel.astype(f32) \
+        + fc1_bias.astype(f32)
+    fc1_kernel = ln2_scale.astype(f32)[:, None] * fc1_kernel.astype(f32)
     # matmul operands in the input dtype (bf16 inference → full MXU rate;
     # f32 tests stay exact); biases/LN stay f32 — they're VPU adds
     wqkv, wp = wqkv.astype(xw.dtype), wp.astype(xw.dtype)
@@ -829,7 +837,7 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     kernel = functools.partial(
         _kernel, num_heads=num_heads, scale=scale, pairs_per_block=g_blk,
         bias_mode="const" if bias_is_constant else "per_pair",
-        rowsum_lane=rl)
+        rowsum_lane=rl, affine_folded=True)
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 2 * n, 2 * n),
                                  lambda i: (0, 0, 0, 0),
