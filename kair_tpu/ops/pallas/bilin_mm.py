@@ -147,12 +147,139 @@ def _sample_ref(feat, fy, fx):
     return _sample_bilinear_patch(feat, fy[..., None], fx[..., None])[..., 0, :]
 
 
+def _bwd_kernel(coords_ref, slab_ref, p_ref, px_ref, g_ref,
+                dslab_ref, dcoords_ref, *, h: int, w: int, csp: int):
+    """All-MXU backward: with the 2-hot factorization
+    out[r,·] = Ry[r]·F·Cx[r], the grads are transposed matmuls —
+      dF   = Σ_r Ryᵀ (g_e ⊙ Cxe)            (scatter-free, unlike the
+                                              gather path's scatter-add)
+      dfy  = Σ_y Sy ⊙ ((g_e ⊙ Cxe) @ Fᵀ)     Sy = ∂Ry/∂fy ∈ {-1, 0, +1}
+      dfx  = Σ_x Sx ⊙ (((Ry@F) ⊙ g_e) @ Px)
+    g_e expands dout across the W lanes of each channel via the fixed
+    fold matrix transposed (g @ Pᵀ)."""
+    cds = coords_ref[0]
+    fy = cds[:, 0:1]
+    fx = cds[:, 1:2]
+    rt = cds.shape[0]
+    dt = slab_ref.dtype
+    f32 = jnp.float32
+
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = (fy - y0).astype(dt)
+    wx = (fx - x0).astype(dt)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    ih = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1)
+    ry = (jnp.where(ih == y0i, 1.0 - wy, 0.0)
+          + jnp.where(ih == y0i + 1, wy, 0.0)).astype(dt)
+    sy = (jnp.where(ih == y0i + 1, 1.0, 0.0)
+          - jnp.where(ih == y0i, 1.0, 0.0)).astype(dt)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
+    cx = (jnp.where(iw == x0i, 1.0 - wx, 0.0)
+          + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
+    sx = (jnp.where(iw == x0i + 1, 1.0, 0.0)
+          - jnp.where(iw == x0i, 1.0, 0.0)).astype(dt)
+    cxe = jnp.tile(cx, (1, csp))
+
+    gout = g_ref[0].astype(dt)                                  # (Rt, csp)
+    g_e = jax.lax.dot_general(gout, p_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32).astype(dt)
+    m2 = g_e * cxe                                              # (Rt, cspW)
+
+    # dF accumulated across the R-tile grid dim (constant out block)
+    dsl = jax.lax.dot_general(ry, m2, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)       # (H, cspW)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        dslab_ref[0] = jnp.zeros_like(dslab_ref[0])
+
+    dslab_ref[0] += dsl.astype(dslab_ref.dtype)
+
+    # coordinate grads
+    a2 = jax.lax.dot_general(m2, slab_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)        # (Rt, H)
+    dfy = jnp.sum(sy.astype(f32) * a2, axis=1, keepdims=True)
+    a = jnp.dot(ry, slab_ref[0], preferred_element_type=f32).astype(dt)
+    b2 = jnp.dot((a * g_e).astype(dt), px_ref[:],
+                 preferred_element_type=f32)                    # (Rt, W)
+    dfx = jnp.sum(sx.astype(f32) * b2, axis=1, keepdims=True)
+    dcoords_ref[0] = jnp.concatenate([dfy, dfx], axis=1)
+
+
+def _fold_matrix_x(w: int, csp: int, dtype) -> jnp.ndarray:
+    """(csp*w, w) 0/1: Px[c*w+x, x'] = [x == x'] — sums each x across c."""
+    lane_x = jnp.arange(csp * w) % w
+    return (lane_x[:, None] == jnp.arange(w)[None, :]).astype(dtype)
+
+
+def _bwd_impl(feat, fy, fx, g, rt, interpret):
+    gq, h, w, cs = feat.shape
+    r = fy.shape[1]
+    csp = cs
+    while (csp * w) % 128:
+        csp += 1
+    rp = -(-r // rt) * rt
+
+    slab = feat
+    if csp != cs:
+        slab = jnp.pad(slab, ((0, 0), (0, 0), (0, 0), (0, csp - cs)))
+    slab = slab.transpose(0, 1, 3, 2).reshape(gq, h, csp * w)
+    coords = jnp.stack([fy, fx], axis=-1)
+    gz = g
+    if csp != cs:
+        gz = jnp.pad(gz, ((0, 0), (0, 0), (0, csp - cs)))
+    if rp != r:
+        coords = jnp.pad(coords, ((0, 0), (0, rp - r), (0, 0)),
+                         constant_values=-2.0)
+        gz = jnp.pad(gz, ((0, 0), (0, rp - r), (0, 0)))
+    coords = coords.astype(jnp.float32)
+    p = _fold_matrix(w, csp, slab.dtype)
+    px = _fold_matrix_x(w, csp, slab.dtype)
+
+    dslab, dcoords = pl.pallas_call(
+        functools.partial(_bwd_kernel, h=h, w=w, csp=csp),
+        grid=(gq, rp // rt),
+        in_specs=[
+            pl.BlockSpec((1, rt, 2), lambda gi, ri: (gi, ri, 0)),
+            pl.BlockSpec((1, h, csp * w), lambda gi, ri: (gi, 0, 0)),
+            pl.BlockSpec((csp * w, csp), lambda gi, ri: (0, 0)),
+            pl.BlockSpec((csp * w, w), lambda gi, ri: (0, 0)),
+            pl.BlockSpec((1, rt, csp), lambda gi, ri: (gi, ri, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, csp * w), lambda gi, ri: (gi, 0, 0)),
+            pl.BlockSpec((1, rt, 2), lambda gi, ri: (gi, ri, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gq, h, csp * w), jnp.float32),
+            jax.ShapeDtypeStruct((gq, rp, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coords, slab, p, px, gz.astype(slab.dtype))
+
+    dfeat = dslab.reshape(gq, h, csp, w).transpose(0, 1, 3, 2)[..., :cs]
+    dfeat = dfeat.astype(feat.dtype)
+    dfy = dcoords[:, :r, 0].astype(fy.dtype)
+    dfx = dcoords[:, :r, 1].astype(fx.dtype)
+    return dfeat, dfy, dfx
+
+
+# backward implementation switch: the MXU kernel (scatter-free transposed
+# matmuls) vs jax.vjp through the jnp gather reference (the oracle)
+BWD_PALLAS = True
+
+
 def _vjp_fwd(feat, fy, fx, rt, interpret, variant):
     return _fwd_impl(feat, fy, fx, rt, interpret, variant), (feat, fy, fx)
 
 
 def _vjp_bwd(rt, interpret, variant, res, g):
     feat, fy, fx = res
+    if BWD_PALLAS:
+        return _bwd_impl(feat, fy, fx, g, rt, interpret)
     _, pullback = jax.vjp(_sample_ref, feat, fy, fx)
     return pullback(g)
 
