@@ -21,6 +21,7 @@ def _opt(gan_type="lsgan", d_type="discriminator_patchgan"):
     }
 
 
+@pytest.mark.slow
 def test_discriminators_run():
     import jax
     import jax.numpy as jnp

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_retinaface_shapes():
     import jax
     import jax.numpy as jnp
