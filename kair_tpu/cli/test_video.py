@@ -94,7 +94,8 @@ RVRT_TASKS = {
 }
 
 
-def build_task(task: str, model_path: str, fuse: bool = False):
+def build_task(task: str, model_path: str, fuse: bool = False,
+               deform: str = "gather"):
     """(jitted forward, scale, window_size, nonblind) for a task preset.
     fuse=True enables the fused Pallas attention blocks (TMSA mutual+GEGLU
     groups for VRT; self-only STL blocks for RVRT)."""
@@ -104,7 +105,7 @@ def build_task(task: str, model_path: str, fuse: bool = False):
     if task in VRT_TASKS:
         from kair_tpu.models.vrt import VRT
         cfg = VRT_TASKS[task]
-        model = VRT(**cfg, fuse_block=fuse)
+        model = VRT(**cfg, fuse_block=fuse, deform_impl=deform)
         sd = tc.load_torch_state_dict(model_path, "params")
         variables = tc.convert_vrt(sd, depths=cfg["depths"],
                                    pa_frames=cfg["pa_frames"],
@@ -112,7 +113,7 @@ def build_task(task: str, model_path: str, fuse: bool = False):
     elif task in RVRT_TASKS:
         from kair_tpu.models.rvrt import RVRT
         cfg = RVRT_TASKS[task]
-        model = RVRT(**cfg, fuse_block=fuse)
+        model = RVRT(**cfg, fuse_block=fuse, deform_impl=deform)
         sd = tc.load_torch_state_dict(model_path, "params")
         variables = tc.convert_rvrt(sd, num_blocks=cfg["num_blocks"],
                                     depths=cfg["depths"],
@@ -173,6 +174,10 @@ def main(argv=None):
                         default=[2, 20, 20])
     parser.add_argument("--fuse", action="store_true",
                         help="fused Pallas attention blocks")
+    parser.add_argument("--deform", choices=["gather", "mxu"],
+                        default="gather",
+                        help="deformable sampling path (Pallas 2-hot-matmul"
+                             " kernel on small frames)")
     parser.add_argument("--save_result", action="store_true")
     parser.add_argument("--results", type=str, default="results")
     args = parser.parse_args(argv)
@@ -182,7 +187,8 @@ def main(argv=None):
     from kair_tpu.utils.logger import setup_logger
 
     logger = setup_logger("test_video")
-    fwd, scale, window_size, nonblind = build_task(args.task, args.model_path, fuse=args.fuse)
+    fwd, scale, window_size, nonblind = build_task(
+        args.task, args.model_path, fuse=args.fuse, deform=args.deform)
     if nonblind and args.sigma == 0:
         logger.warning("task %s is non-blind denoising but --sigma is 0; "
                        "pass e.g. --sigma 10", args.task)
