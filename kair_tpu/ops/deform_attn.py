@@ -24,10 +24,6 @@ import jax.numpy as jnp
 
 from kair_tpu.ops.warp import _sample_bilinear
 
-# largest frame area the MXU sampling path accepts before loudly falling
-# back to gathers (cost ∝ H·W vs rows-only; crossover measured on v5e)
-MXU_MAX_HW = 96 * 96
-
 
 def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
                      offset: jnp.ndarray, kernel: Tuple[int, int] = (3, 3),
@@ -68,17 +64,11 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
     ky = (jnp.arange(K) // kw - pad).astype(q.dtype)          # (K,)
     kx = (jnp.arange(K) % kw - pad).astype(q.dtype)
 
-    if impl == "mxu" and h * w > MXU_MAX_HW:
-        # the 2-hot-matmul cost scales with H*W (contraction over H, lanes
-        # over W), the gather cost with index rows only — large tiled-eval
-        # patches are cheaper on the gather path
-        from kair_tpu.utils.logger import warn_once
-        warn_once(f"deform-mxu-size-{h}x{w}",
-                  f"deform_attention impl='mxu' disabled at {h}x{w} "
-                  f"(> {MXU_MAX_HW} px²): using the gather path")
-        impl = "gather"
     if impl == "mxu":
-        from kair_tpu.ops.pallas.bilin_mm import bilinear_sample_mm
+        from kair_tpu.ops.pallas.bilin_mm import (bilinear_sample_mm,
+                                                  route_impl)
+        impl = route_impl(impl, h, w, 2 * cg, "deform_attention")
+    if impl == "mxu":
         kf = k_feat.reshape(b, clip, h, w, dg, cg)
         vf = v_feat.reshape(b, clip, h, w, dg, cg)
         both = jnp.concatenate([kf, vf], axis=-1)             # (b,n,h,w,g,2cg)

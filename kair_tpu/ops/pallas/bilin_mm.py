@@ -85,6 +85,39 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
     out_ref[0] = out.astype(dt)
 
 
+# largest frame area the MXU sampling path accepts before loudly falling
+# back to gathers (cost ∝ H·W vs rows-only; crossover measured on v5e)
+MXU_MAX_HW = 96 * 96
+# lane-dim cap: one program holds (rt, csp*w) f32 intermediates — csp*w
+# beyond this blows the 16 MB scoped-VMEM stack (rt=256: 4096 lanes ≈ 4 MB
+# per buffer)
+MXU_MAX_LANES = 4096
+
+
+def _pad_cs(cs: int, w: int) -> int:
+    csp = cs
+    while (csp * w) % 128:
+        csp += 1
+    return csp
+
+
+def route_impl(impl: str, h: int, w: int, cs: int, tag: str) -> str:
+    """Gate the 'mxu' sampling path by frame size AND padded lane width
+    (widths sharing no factor with 128 pad csp toward 128 — the lane dim,
+    not h*w, is the real VMEM constraint). Falls back loudly."""
+    if impl != "mxu":
+        return impl
+    lanes = _pad_cs(cs, w) * w
+    if h * w <= MXU_MAX_HW and lanes <= MXU_MAX_LANES:
+        return impl
+    from kair_tpu.utils.logger import warn_once
+    warn_once(f"{tag}-mxu-size-{h}x{w}x{cs}",
+              f"{tag} impl='mxu' disabled at {h}x{w} (cs={cs}: "
+              f"{lanes} lanes, limits {MXU_MAX_HW} px² / {MXU_MAX_LANES} "
+              f"lanes): using the gather path")
+    return "gather"
+
+
 def _fold_matrix(w: int, csp: int, dtype) -> jnp.ndarray:
     """(csp*w, csp) 0/1: P[c*w+x, c'] = [c == c'] — sums each c's W lanes."""
     lane_c = jnp.arange(csp * w) // w
@@ -110,9 +143,7 @@ def _fwd_impl(feat, fy, fx, rt, interpret, variant="fold"):
     g, h, w, cs = feat.shape
     r = fy.shape[1]
     # lane dim Cs*W must tile cleanly; pad Cs up so (Cs*W) % 128 == 0
-    csp = cs
-    while (csp * w) % 128:
-        csp += 1
+    csp = _pad_cs(cs, w)
     rp = -(-r // rt) * rt
 
     slab = feat
@@ -218,9 +249,7 @@ def _fold_matrix_x(w: int, csp: int, dtype) -> jnp.ndarray:
 def _bwd_impl(feat, fy, fx, g, rt, interpret):
     gq, h, w, cs = feat.shape
     r = fy.shape[1]
-    csp = cs
-    while (csp * w) % 128:
-        csp += 1
+    csp = _pad_cs(cs, w)
     rp = -(-r // rt) * rt
 
     slab = feat

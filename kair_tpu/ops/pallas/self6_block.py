@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kair_tpu.ops.pallas.swin_block import _gelu_fast
-from kair_tpu.ops.pallas.window_msa import _HD_PAD, pack_qkv_fused
+from kair_tpu.ops.pallas.window_msa import (_HD_PAD, fold_ln_affine,
+                                            pack_qkv_fused)
 
 N6 = 384                                   # 6*8*8 tokens per window
 
@@ -185,15 +186,9 @@ def _impl(meta, x, flat, rel, mask_pats):
     wp = pack_proj_self(proj_k, num_heads)
     fold_ln = not safe
     if fold_ln:
-        # inference: fold LN affines into the packed matmuls (exact —
-        # residuals bypass LN; see swin_block._fused_2d_fwd_impl)
-        f32 = jnp.float32
-        bqkv = ln1b.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
-        wqkv = ln1s.astype(f32)[:, None] * wqkv.astype(f32)
-        fc11b = ln2b.astype(f32) @ fc11k.astype(f32) + fc11b.astype(f32)
-        fc11k = ln2s.astype(f32)[:, None] * fc11k.astype(f32)
-        fc12b = ln2b.astype(f32) @ fc12k.astype(f32) + fc12b.astype(f32)
-        fc12k = ln2s.astype(f32)[:, None] * fc12k.astype(f32)
+        wqkv, bqkv = fold_ln_affine(wqkv, bqkv, ln1s, ln1b)
+        fc11k, fc11b = fold_ln_affine(fc11k, fc11b, ln2s, ln2b)
+        fc12k, fc12b = fold_ln_affine(fc12k, fc12b, ln2s, ln2b)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     slab = pl.BlockSpec(

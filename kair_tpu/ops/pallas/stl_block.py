@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kair_tpu.ops.pallas.swin_block import _block_body
-from kair_tpu.ops.pallas.window_msa import _HD_PAD, pack_weights_fused
+from kair_tpu.ops.pallas.window_msa import (_HD_PAD, fold_ln_affine,
+                                            pack_weights_fused)
 
 N = 128
 
@@ -84,13 +85,8 @@ def _impl(meta, x, flat, bias_pats):
                                         scale)
     fold_ln = not safe
     if fold_ln:
-        # inference: fold LN affines into packed qkv/fc1 (exact; see
-        # swin_block._fused_2d_fwd_impl)
-        f32 = jnp.float32
-        bqkv = ln1b.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
-        wqkv = ln1s.astype(f32)[:, None] * wqkv.astype(f32)
-        fc1b = ln2b.astype(f32) @ fc1k.astype(f32) + fc1b.astype(f32)
-        fc1k = ln2s.astype(f32)[:, None] * fc1k.astype(f32)
+        wqkv, bqkv = fold_ln_affine(wqkv, bqkv, ln1s, ln1b)
+        fc1k, fc1b = fold_ln_affine(fc1k, fc1b, ln2s, ln2b)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
 
     # w-chunking against the 16 MB scoped-VMEM stack (single qkv set +

@@ -31,8 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG, make_pair_bias,
-                                            pack_qkv_fused,
+from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG, fold_ln_affine,
+                                            make_pair_bias, pack_qkv_fused,
                                             pack_weights_fused)
 
 
@@ -655,17 +655,11 @@ def _fused_2d_fwd_impl(meta, x, params, pair_bias):
                                         num_heads, scale, rowsum_lane=rl)
     fold_ln = not safe
     if fold_ln:
-        # inference: fold the LN affines into the packed matmuls —
-        # qkv(y*s1+b1) = y @ (s1⊙Wqkv) + (b1@Wqkv + bqkv), same for fc1;
-        # residuals bypass LN so this is exact (f32 pack-time algebra).
-        # Training keeps the explicit affine (the Pallas backward computes
-        # dln1s/dln1b from the original parameterization).
-        f32 = jnp.float32
-        bqkv = ln1_bias.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
-        wqkv = ln1_scale.astype(f32)[:, None] * wqkv.astype(f32)
-        fc1_bias = (ln2_bias.astype(f32) @ fc1_kernel.astype(f32)
-                    + fc1_bias.astype(f32))
-        fc1_kernel = ln2_scale.astype(f32)[:, None] * fc1_kernel.astype(f32)
+        # inference only — training keeps the explicit affine (the Pallas
+        # backward computes dln1s/dln1b from the original parameterization)
+        wqkv, bqkv = fold_ln_affine(wqkv, bqkv, ln1_scale, ln1_bias)
+        fc1_kernel, fc1_bias = fold_ln_affine(fc1_kernel, fc1_bias,
+                                              ln2_scale, ln2_bias)
     wqkv, wp = wqkv.astype(x.dtype), wp.astype(x.dtype)
     if bias_is_constant:
         bias_spec = pl.BlockSpec((1, num_heads, 128, 128),
@@ -815,12 +809,9 @@ def swin_block_pallas(xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
                                         num_heads, scale, rowsum_lane=rl)
     # this entry is the inference fallback (training routes through the
     # jnp path) — always fold the LN affines into the packed matmuls
-    f32 = jnp.float32
-    bqkv = ln1_bias.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)
-    wqkv = ln1_scale.astype(f32)[:, None] * wqkv.astype(f32)
-    fc1_bias = ln2_bias.astype(f32) @ fc1_kernel.astype(f32) \
-        + fc1_bias.astype(f32)
-    fc1_kernel = ln2_scale.astype(f32)[:, None] * fc1_kernel.astype(f32)
+    wqkv, bqkv = fold_ln_affine(wqkv, bqkv, ln1_scale, ln1_bias)
+    fc1_kernel, fc1_bias = fold_ln_affine(fc1_kernel, fc1_bias,
+                                          ln2_scale, ln2_bias)
     # matmul operands in the input dtype (bf16 inference → full MXU rate;
     # f32 tests stay exact); biases/LN stay f32 — they're VPU adds
     wqkv, wp = wqkv.astype(xw.dtype), wp.astype(xw.dtype)

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kair_tpu.ops.pallas.swin_block import _gelu_fast
-from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG,
+from kair_tpu.ops.pallas.window_msa import (_HD_PAD, _NEG, fold_ln_affine,
                                             pack_qkv_fused)
 
 N = 128          # tokens per (2,8,8) window
@@ -226,14 +226,9 @@ def _impl(meta, x, flat, pos, bias_self, bias_mut):
     wp = pack_proj2(proj_k, num_heads)
     fold_ln2 = not safe
     if fold_ln2:
-        # inference: fold the LN2 affine into fc11/fc12 (exact; see
-        # swin_block._fused_2d_fwd_impl). LN1 stays explicit — the mutual
-        # qkv input adds pos AFTER the affine.
-        f32 = jnp.float32
-        fc11b = ln2b.astype(f32) @ fc11k.astype(f32) + fc11b.astype(f32)
-        fc11k = ln2s.astype(f32)[:, None] * fc11k.astype(f32)
-        fc12b = ln2b.astype(f32) @ fc12k.astype(f32) + fc12b.astype(f32)
-        fc12k = ln2s.astype(f32)[:, None] * fc12k.astype(f32)
+        # LN2 only — the mutual qkv input adds pos AFTER the LN1 affine
+        fc11k, fc11b = fold_ln_affine(fc11k, fc11b, ln2s, ln2b)
+        fc12k, fc12b = fold_ln_affine(fc12k, fc12b, ln2s, ln2b)
     wqkv_s, wqkv_m, wp = (t.astype(x.dtype) for t in (wqkv_s, wqkv_m, wp))
 
     # w-chunking against the 16 MB scoped-VMEM stack (see

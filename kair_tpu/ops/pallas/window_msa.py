@@ -84,6 +84,19 @@ def _blockdiag_neg(n: int = 64) -> np.ndarray:
     return m
 
 
+def fold_ln_affine(kernel, bias, ln_scale, ln_bias):
+    """Fold a LayerNorm affine into the matmul that consumes it (exact,
+    f32 pack-time algebra — residuals bypass LN):
+        (y·s + b) @ W + c  =  y @ (s[:,None]·W) + (b@W + c)
+    Returns the folded (kernel, bias). Inference-only: the training
+    backwards compute dln·/d· from the original parameterization, so every
+    caller gates this on `not safe`."""
+    f32 = jnp.float32
+    k32 = kernel.astype(f32)
+    return (ln_scale.astype(f32)[:, None] * k32,
+            ln_bias.astype(f32) @ k32 + bias.astype(f32))
+
+
 def pack_qkv_fused(qkv_kernel, qkv_bias, num_heads: int, scale: float,
                    rowsum_lane: bool = False):
     """Host-side relayout for the ONE-matmul qkv path: (C, 3C) →

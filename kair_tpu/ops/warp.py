@@ -201,15 +201,10 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
     xg = x.reshape(n, h, w, dg, cg)
 
     if impl == "mxu":
-        from kair_tpu.ops.deform_attn import MXU_MAX_HW
-        if h * w > MXU_MAX_HW:
-            from kair_tpu.utils.logger import warn_once
-            warn_once(f"dcn-mxu-size-{h}x{w}",
-                      f"modulated_deform_conv impl='mxu' disabled at "
-                      f"{h}x{w} (> {MXU_MAX_HW} px²): using the gather path")
-            impl = "gather"
+        from kair_tpu.ops.pallas.bilin_mm import (bilinear_sample_mm,
+                                                  route_impl)
+        impl = route_impl(impl, h, w, cg, "modulated_deform_conv")
     if impl == "mxu":
-        from kair_tpu.ops.pallas.bilin_mm import bilinear_sample_mm
         slabs = xg.transpose(0, 3, 1, 2, 4).reshape(n * dg, h, w, cg)
         # rows tap-major per (n, g), matching the gather path's col order
         fy = (gy[None, None, None] + ky[:, None, None]

@@ -89,7 +89,8 @@ def test_rvrt_deform_mxu_matches_gather():
     import kair_tpu.ops.pallas.bilin_mm as bm
     orig = bm._fwd_impl
     patch = mock.patch.object(
-        bm, "_fwd_impl", lambda f, y, x, rt, _i: orig(f, y, x, rt, True))
+        bm, "_fwd_impl",
+        lambda f, y, x, rt, _i, *v: orig(f, y, x, rt, True, *v))
 
     rng = np.random.RandomState(3)
     lqs = rng.rand(1, 4, 64, 64, 3).astype(np.float32)
@@ -146,7 +147,7 @@ def test_vrt_deform_mxu_matches_gather():
     want = np.asarray(model_g.apply(variables, x))
     with mock.patch.object(
             bm, "_fwd_impl",
-            lambda f, fy, fx, rt, _i: orig(f, fy, fx, rt, True)):
+            lambda f, fy, fx, rt, _i, *v: orig(f, fy, fx, rt, True, *v)):
         got = np.asarray(tiny("mxu").apply(variables, x))
     d = np.abs(got - want)
     assert d.max() < 2e-3 and d.mean() < 5e-5, (d.max(), d.mean())
