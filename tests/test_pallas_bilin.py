@@ -163,3 +163,13 @@ def test_bilinear_mm_variants_match(variant):
     want = _sample_ref(feat, fy, fx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_route_impl_gates_large_frames():
+    from kair_tpu.ops.pallas.bilin_mm import route_impl
+    assert route_impl("mxu", 64, 64, 48, "t") == "mxu"
+    assert route_impl("gather", 64, 64, 48, "t") == "gather"
+    # area over the px² limit
+    assert route_impl("mxu", 128, 128, 48, "t") == "gather"
+    # lane blow-up: w=95 pads csp to 128 → 12160 lanes
+    assert route_impl("mxu", 95, 95, 48, "t") == "gather"
