@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--fuse", action="store_true",
                         help="swinir: fused Pallas block (fwd + bwd kernels)")
+    parser.add_argument("--deform", choices=["gather", "mxu"],
+                        default="gather",
+                        help="vrt: deformable sampling path (MXU 2-hot-"
+                             "matmul kernel, fwd + scatter-free bwd)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -72,7 +76,8 @@ def main(argv=None):
         frames = 6
         netg = {"net_type": "vrt", "upscale": 4, "in_chans": 3,
                 "out_chans": 3, "window_size": [6, 8, 8], "pa_frames": 2,
-                "deformable_groups": 12, "fuse_block": bool(args.fuse)}
+                "deformable_groups": 12, "fuse_block": bool(args.fuse),
+                "deform_impl": args.deform}
         opt = {"netG": netg,
                "train": {"G_lossfn_type": "charbonnier",
                          "G_optimizer_lr": 4e-4,

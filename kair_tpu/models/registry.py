@@ -125,6 +125,7 @@ def define_g(opt: dict, dtype: Optional[Any] = None):
                    nonblind_denoising=bool(_get(o, "nonblind_denoising", False)),
                    remat=bool(_get(o, "use_checkpoint_attn", False)),
                    fuse_block=bool(_get(o, "fuse_block", False)),
+                   deform_impl=_get(o, "deform_impl", "gather"),
                    dtype=dtype)
     if t == "rvrt":
         from kair_tpu.models.rvrt import RVRT
@@ -142,6 +143,7 @@ def define_g(opt: dict, dtype: Optional[Any] = None):
                     nonblind_denoising=bool(_get(o, "nonblind_denoising", False)),
                     remat=bool(_get(o, "use_checkpoint_attn", False)),
                     fuse_block=bool(_get(o, "fuse_block", False)),
+                    deform_impl=_get(o, "deform_impl", "gather"),
                     dtype=dtype)
     if t == "spynet":
         from kair_tpu.models.spynet import SpyNet
