@@ -31,6 +31,10 @@ def main(argv=None):
                         help="deformable sampling path (rvrt GDA / vrt "
                              "DCN): XLA patch gathers or the Pallas "
                              "2-hot-matmul kernel (ops/pallas/bilin_mm.py)")
+    parser.add_argument("--compare", action="store_true",
+                        help="bench BOTH deform paths interleaved in one "
+                             "process (cross-process numbers are not "
+                             "decision-grade on the tunnelled runtime)")
     parser.add_argument("--k", type=int, default=4)
     args = parser.parse_args(argv)
     args.k = max(2, args.k)        # per_iter divides by k-1
@@ -48,49 +52,63 @@ def main(argv=None):
     except Exception:
         pass
 
-    if args.net == "rvrt":
-        from kair_tpu.models.rvrt import RVRT
+    def build(deform):
+        if args.net == "rvrt":
+            from kair_tpu.models.rvrt import RVRT
 
-        # released 001 REDS 30-frame cfg
-        model = RVRT(dtype=jnp.bfloat16, fuse_block=args.fuse,
-                     deform_impl=args.deform)
-    else:
+            # released 001 REDS 30-frame cfg
+            return RVRT(dtype=jnp.bfloat16, fuse_block=args.fuse,
+                        deform_impl=deform)
         from kair_tpu.models.vrt import VRT
 
-        model = VRT(deformable_groups=12, dtype=jnp.bfloat16,
-                    fuse_block=args.fuse, deform_impl=args.deform)
+        return VRT(deformable_groups=12, dtype=jnp.bfloat16,
+                   fuse_block=args.fuse, deform_impl=deform)
+
     x = jnp.asarray(np.random.RandomState(0).rand(
         args.batch, args.frames, args.size, args.size, 3), jnp.float32)
-    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), variables)
 
-    def chain(v, a, k):
-        def body(_, acc):
-            y = model.apply(v, acc)
-            return y[:, :, ::4, ::4, :]
-        return jnp.sum(jax.lax.fori_loop(0, k, body, a).astype(jnp.float32))
+    deforms = ["gather", "mxu"] if args.compare else [args.deform]
+    fns, variables = {}, None
+    for deform in deforms:
+        model = build(deform)
+        if variables is None:
+            variables = jax.eval_shape(
+                lambda m=model: m.init(jax.random.PRNGKey(0), x))
+            variables = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), variables)
 
-    fn = jax.jit(chain, static_argnums=(2,))
-    float(fn(variables, x, 1))
-    float(fn(variables, x, args.k))
-    diffs = []
+        def chain(v, a, k, m=model):
+            def body(_, acc):
+                y = m.apply(v, acc)
+                return y[:, :, ::4, ::4, :]
+            return jnp.sum(jax.lax.fori_loop(0, k, body, a)
+                           .astype(jnp.float32))
+
+        fn = jax.jit(chain, static_argnums=(2,))
+        float(fn(variables, x, 1))
+        float(fn(variables, x, args.k))
+        fns[deform] = fn
+
+    diffs = {d: [] for d in fns}
     for _ in range(3):
-        t0 = time.perf_counter(); float(fn(variables, x, args.k))
-        tk = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(fn(variables, x, 1))
-        t1 = time.perf_counter() - t0
-        diffs.append(tk - t1)
-    per_iter = max(min(diffs) / (args.k - 1), 1e-9)
+        for d, fn in fns.items():           # interleaved: same-process A/B
+            t0 = time.perf_counter(); float(fn(variables, x, args.k))
+            tk = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(fn(variables, x, 1))
+            t1 = time.perf_counter() - t0
+            diffs[d].append(tk - t1)
     mp = args.batch * args.frames * args.size * args.size / 1e6
-    print(json.dumps({
-        "metric": f"{args.net.upper()} x4 video SR throughput "
-                  f"({args.frames}x{args.size}px, bf16"
-                  f"{', fused TMSA' if args.fuse else ''})",
-        "value": round(mp / per_iter, 4),
-        "unit": "MP/s/chip",
-        "vs_baseline": None,
-    }))
+    for d, ts in diffs.items():
+        per_iter = max(min(ts) / (args.k - 1), 1e-9)
+        print(json.dumps({
+            "metric": f"{args.net.upper()} x4 video SR throughput "
+                      f"({args.frames}x{args.size}px, bf16"
+                      f"{', fused TMSA' if args.fuse else ''}"
+                      f"{', MXU deform' if d == 'mxu' else ''})",
+            "value": round(mp / per_iter, 4),
+            "unit": "MP/s/chip",
+            "vs_baseline": None,
+        }))
 
 
 if __name__ == "__main__":
