@@ -27,9 +27,10 @@ about 610 GFLOP per deform_attention call, vs ~14 ms of gather today.
 The matmul cost scales with H*W, the gather cost with R only, so the
 wrapper keeps the gather path for large frames (see deform_attn.py).
 
-Differentiable: custom VJP recomputes through the jnp patch-gather
-reference (ops/warp._sample_bilinear_patch), the same pattern as the
-fused attention kernels.
+Differentiable: the custom VJP's backward is itself all-MXU (`_bwd_kernel`
+— transposed matmuls for dF, sign-one-hot folds for dfy/dfx), replacing
+the gather path's scatter-add; the jnp patch-gather reference
+(ops/warp._sample_bilinear_patch) remains the oracle (BWD_PALLAS switch).
 """
 
 from __future__ import annotations
@@ -86,7 +87,8 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
 
 
 # largest frame area the MXU sampling path accepts before loudly falling
-# back to gathers (cost ∝ H·W vs rows-only; crossover measured on v5e)
+# back to gathers (cost ∝ H·W vs rows-only; conservative initial bound —
+# tune from the measured v5e crossover)
 MXU_MAX_HW = 96 * 96
 # lane-dim cap: one program holds (rt, csp*w) f32 intermediates — csp*w
 # beyond this blows the 16 MB scoped-VMEM stack (rt=256: 4096 lanes ≈ 4 MB
