@@ -30,7 +30,11 @@ def multistep(base_lr: float, milestones: Sequence[int], gamma: float = 0.5) -> 
 def cosine_annealing_restarts(base_lr: float, periods: Sequence[int],
                               restart_weights=1, eta_min: float = 0.0) -> Callable:
     """BasicSR-style CosineAnnealingRestartLR: piecewise cosine cycles of
-    lengths `periods`, each scaled by its restart weight."""
+    lengths `periods`, each scaled by its restart weight.  A scalar period
+    means a single cycle (the VRT options write `G_scheduler_periods: 300000`,
+    reference options/vrt/001:96)."""
+    if isinstance(periods, (int, float)):
+        periods = [int(periods)]
     periods = list(periods)
     if isinstance(restart_weights, (int, float)):
         restart_weights = [restart_weights] * len(periods)
