@@ -24,11 +24,75 @@ number is auditable (VERDICT r2 "self-scoring perf number").
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e published bf16 peak per chip
+# Published bf16 peak TFLOP/s per chip, keyed by substrings of
+# jax.devices()[0].device_kind. Used for the MFU self-score; an unknown
+# kind (e.g. CPU interpret) reports mfu=null rather than a wrong number
+# (ADVICE r3: bench.py:150).
+PEAK_BF16_TFLOPS = {
+    "v6e": 918.0, "v6": 918.0,
+    "v5e": 197.0, "v5 lite": 197.0, "v5litepod": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+}
+
+
+def peak_for_device_kind(kind: str):
+    k = kind.lower()
+    # try the most specific substrings first
+    for sub in ("v5litepod", "v5 lite", "v6e", "v5e", "v5p", "v6", "v4"):
+        if sub in k:
+            return PEAK_BF16_TFLOPS[sub]
+    return None
+
+
+def wait_for_backend(total_budget_s: float = 900.0, probe_timeout_s: float = 150.0):
+    """Block until the accelerator backend answers, retrying with backoff.
+
+    Transient tunnel outages have two failure modes: a fast RuntimeError
+    ("Unable to initialize backend") and an indefinite hang inside backend
+    init. Neither is recoverable in-process once jax has cached the failed
+    backend, so probe in a subprocess with a kill timeout and only touch
+    jax in THIS process after a probe succeeds. (VERDICT r3: BENCH_r03
+    recorded rc=1 on a down tunnel; retry instead of zeroing the round.)
+    """
+    deadline = time.time() + total_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # the ambient sitecustomize force-sets jax_platforms='axon,cpu',
+            # overriding the env var — re-assert JAX_PLATFORMS if the caller
+            # set one, so e.g. JAX_PLATFORMS=cpu KAIR_BENCH_ALLOW_CPU=1 works
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax\n"
+                 "p = os.environ.get('JAX_PLATFORMS')\n"
+                 "if p: jax.config.update('jax_platforms', p)\n"
+                 "d = jax.devices()[0]; print(d.device_kind)"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if out.returncode == 0 and out.stdout.strip():
+                kind = out.stdout.strip().splitlines()[-1]
+                # a down tunnel can error fast and fall back to CPU; a CPU
+                # number must never overwrite the TPU perf record, so keep
+                # retrying unless CPU was explicitly allowed
+                if (peak_for_device_kind(kind) is not None
+                        or "tpu" in kind.lower()
+                        or os.environ.get("KAIR_BENCH_ALLOW_CPU")):
+                    return kind
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"bench: backend still unavailable after {attempt} probes "
+                  f"({total_budget_s:.0f}s budget)", file=sys.stderr)
+            return None
+        time.sleep(min(60.0, 5.0 * attempt))
 
 
 def swinir_flops_per_lr_pixel(embed_dim=180, depths=(6,) * 6, num_heads=6,
@@ -91,14 +155,31 @@ def _timed_chain(model_apply, variables, x, k: int) -> float:
     return best
 
 
-def main():
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of one timed "
+                             "chain into DIR and print a per-op summary "
+                             "to stderr (stdout stays one JSON line)")
+    args = parser.parse_args(argv)
+
+    device_kind = wait_for_backend()
+    if device_kind is None:
+        # refuse to touch jax in-process: on a down tunnel the first op
+        # either hangs forever or poisons the backend cache — a clean rc=1
+        # is the only honest record
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
+    if os.environ.get("JAX_PLATFORMS"):
+        # sitecustomize force-sets 'axon,cpu'; honor an explicit env choice
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     # persistent compilation cache: the first compile of the 36-block
     # Pallas model through the tunnelled runtime takes ~20 min; cached
     # reruns take seconds. Harmless if the backend ignores it.
-    import os
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -133,9 +214,18 @@ def main():
 
     mp_per_s = batch * lr_size * lr_size / per_iter / 1e6
 
+    if args.profile:
+        from kair_tpu.utils.profiling import trace, print_trace_summary
+        with trace(args.profile):
+            _timed_chain(apply_fn, variables, x, k_long)
+        print_trace_summary(args.profile,
+                            printer=lambda *a: print(*a, file=sys.stderr))
+
     fppx = swinir_flops_per_lr_pixel()
     tflops = mp_per_s * 1e6 * fppx / 1e12
-    mfu = tflops / V5E_PEAK_BF16_TFLOPS
+    kind = device_kind or jax.devices()[0].device_kind
+    peak = peak_for_device_kind(kind)
+    mfu = (tflops / peak) if peak else None
 
     vs = None
     metric = "SwinIR-M x4 SR throughput (LR megapixels/sec/chip, bf16)"
@@ -147,10 +237,11 @@ def main():
             vs = round(mp_per_s / ref, 4)
     except Exception:
         pass
-    if vs is None:
-        # self-score against chip physics: fraction of v5e bf16 peak
+    if vs is None and mfu is not None:
+        # self-score against chip physics: fraction of the chip's bf16 peak
         vs = round(mfu, 4)
-        metric += "; vs_baseline = MFU (fraction of 197 TFLOP/s v5e peak)"
+        metric += (f"; vs_baseline = MFU (fraction of {peak:.0f} TFLOP/s "
+                   f"{kind} peak)")
 
     print(json.dumps({
         "metric": metric,
@@ -158,7 +249,8 @@ def main():
         "unit": "MP/s/chip",
         "vs_baseline": vs,
         "tflops": round(tflops, 2),
-        "mfu": round(mfu, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "device_kind": kind,
         "flops_per_lr_pixel": round(fppx),
     }))
 

@@ -35,6 +35,9 @@ def main(argv=None):
                         default="gather",
                         help="vrt: deformable sampling path (MXU 2-hot-"
                              "matmul kernel, fwd + scatter-free bwd)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of one timed "
+                             "chain into DIR and print a per-op summary")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -124,6 +127,14 @@ def main(argv=None):
     t1 = min(_timed(fn, state, 1) for _ in range(2))
     tk = min(_timed(fn, state, args.steps) for _ in range(2))
     per_step = max((tk - t1) / (args.steps - 1), 1e-9)
+
+    if args.profile:
+        import sys
+        from kair_tpu.utils.profiling import trace, print_trace_summary
+        with trace(args.profile):
+            float(fn(state, args.steps))
+        print_trace_summary(args.profile,
+                            printer=lambda *a: print(*a, file=sys.stderr))
 
     report = {
         "net": args.net,

@@ -36,6 +36,9 @@ def main(argv=None):
                              "process (cross-process numbers are not "
                              "decision-grade on the tunnelled runtime)")
     parser.add_argument("--k", type=int, default=4)
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of one timed "
+                             "chain into DIR and print a per-op summary")
     args = parser.parse_args(argv)
     args.k = max(2, args.k)        # per_iter divides by k-1
 
@@ -97,6 +100,15 @@ def main(argv=None):
             t0 = time.perf_counter(); float(fn(variables, x, 1))
             t1 = time.perf_counter() - t0
             diffs[d].append(tk - t1)
+    if args.profile:
+        import sys
+        from kair_tpu.utils.profiling import trace, print_trace_summary
+        with trace(args.profile):
+            for fn in fns.values():
+                float(fn(variables, x, args.k))
+        print_trace_summary(args.profile,
+                            printer=lambda *a: print(*a, file=sys.stderr))
+
     mp = args.batch * args.frames * args.size * args.size / 1e6
     for d, ts in diffs.items():
         per_iter = max(min(ts) / (args.k - 1), 1e-9)

@@ -23,15 +23,17 @@ from kair_tpu.utils.alignfaces import (get_reference_facial_points,
 def make_blend_mask(size: int = 512) -> np.ndarray:
     """Soft rectangular blend mask (reference :85-89): anti-aliased
     rectangle (26,26)-(486,486) at 512, blurred twice with a (101,101)
-    sigma-11 Gaussian. Coordinates scale with size."""
+    sigma-11 Gaussian. The reference always builds at 512 and resizes to
+    the face size afterwards, so the feather width is a fixed fraction of
+    the face — build at 512 and resize here too (ADVICE r3)."""
     import cv2
 
-    mask = np.zeros((size, size), np.float32)
-    a = int(round(26 * size / 512))
-    b = size - a                     # 486 at size 512, as the reference
-    cv2.rectangle(mask, (a, a), (b, b), (1, 1, 1), -1, cv2.LINE_AA)
+    mask = np.zeros((512, 512), np.float32)
+    cv2.rectangle(mask, (26, 26), (486, 486), (1, 1, 1), -1, cv2.LINE_AA)
     mask = cv2.GaussianBlur(mask, (101, 101), 11)
     mask = cv2.GaussianBlur(mask, (101, 101), 11)
+    if size != 512:
+        mask = cv2.resize(mask, (size, size))
     return mask
 
 

@@ -90,10 +90,15 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
 # back to gathers (cost ∝ H·W vs rows-only; conservative initial bound —
 # tune from the measured v5e crossover)
 MXU_MAX_HW = 96 * 96
-# lane-dim cap: one program holds (rt, csp*w) f32 intermediates — csp*w
-# beyond this blows the 16 MB scoped-VMEM stack (rt=256: 4096 lanes ≈ 4 MB
-# per buffer)
-MXU_MAX_LANES = 4096
+# lane-dim budget: one program holds a few (rt, csp*w) f32 intermediates —
+# cap csp·w so one rt×lanes f32 buffer stays ≤ 4 MB inside the 16 MB
+# scoped-VMEM stack. Derived from the caller's row tile rt (ADVICE r3: the
+# old 4096-lane constant silently assumed rt=256).
+MXU_BUF_BYTES = 4 << 20
+
+
+def max_lanes_for_rt(rt: int) -> int:
+    return MXU_BUF_BYTES // (4 * rt)
 
 
 def _pad_cs(cs: int, w: int) -> int:
@@ -103,20 +108,23 @@ def _pad_cs(cs: int, w: int) -> int:
     return csp
 
 
-def route_impl(impl: str, h: int, w: int, cs: int, tag: str) -> str:
+def route_impl(impl: str, h: int, w: int, cs: int, tag: str,
+               rt: int = 256) -> str:
     """Gate the 'mxu' sampling path by frame size AND padded lane width
     (widths sharing no factor with 128 pad csp toward 128 — the lane dim,
-    not h*w, is the real VMEM constraint). Falls back loudly."""
+    not h*w, is the real VMEM constraint). `rt` must match the row tile
+    the caller passes to bilinear_sample_mm. Falls back loudly."""
     if impl != "mxu":
         return impl
     lanes = _pad_cs(cs, w) * w
-    if h * w <= MXU_MAX_HW and lanes <= MXU_MAX_LANES:
+    max_lanes = max_lanes_for_rt(rt)
+    if h * w <= MXU_MAX_HW and lanes <= max_lanes:
         return impl
     from kair_tpu.utils.logger import warn_once
     warn_once(f"{tag}-mxu-size-{h}x{w}x{cs}",
               f"{tag} impl='mxu' disabled at {h}x{w} (cs={cs}: "
-              f"{lanes} lanes, limits {MXU_MAX_HW} px² / {MXU_MAX_LANES} "
-              f"lanes): using the gather path")
+              f"{lanes} lanes, limits {MXU_MAX_HW} px² / {max_lanes} "
+              f"lanes at rt={rt}): using the gather path")
     return "gather"
 
 
