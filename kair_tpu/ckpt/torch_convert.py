@@ -603,8 +603,18 @@ def convert_rvrt(sd: Dict[str, np.ndarray], num_blocks=(1, 2, 1),
                  depths=(2, 2, 2), upscale=4) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
     params["spynet"] = convert_spynet(sd, "spynet.")
-    params["feat_extract"] = _rvrt_input_conv(sd, "feat_extract",
-                                              num_blocks[0], depths[0])
+    if upscale == 4:
+        params["feat_extract"] = _rvrt_input_conv(sd, "feat_extract",
+                                                  num_blocks[0], depths[0])
+    else:
+        # deblur/denoise head (network_rvrt.py:831-854): Sequential of two
+        # stride-2 conv3d (indices 1, 3) then RSTBWithInputConv at index 6
+        for ours, t in (("down0", 1), ("down1", 3)):
+            params[ours] = {"conv": {
+                "kernel": t_conv3d_133(sd[f"feat_extract.{t}.weight"]),
+                "bias": sd[f"feat_extract.{t}.bias"]}}
+        params["feat_extract"] = _rvrt_input_conv(sd, "feat_extract.6",
+                                                  num_blocks[0], depths[0])
     for module in ("backward_1", "forward_1", "backward_2", "forward_2"):
         d = f"deform_align.{module}"
         da = {}
