@@ -174,10 +174,11 @@ def main(argv=None):
                         default=[2, 20, 20])
     parser.add_argument("--fuse", action="store_true",
                         help="fused Pallas attention blocks")
-    parser.add_argument("--deform", choices=["gather", "mxu"],
+    parser.add_argument("--deform", choices=["gather", "mxu", "fused"],
                         default="gather",
                         help="deformable sampling path (Pallas 2-hot-matmul"
-                             " kernel on small frames)")
+                             " kernel on small frames; 'fused' = one-pass "
+                             "sample+attend GDA, rvrt only)")
     parser.add_argument("--save_result", action="store_true")
     parser.add_argument("--results", type=str, default="results")
     args = parser.parse_args(argv)

@@ -31,10 +31,11 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--fuse", action="store_true",
                         help="swinir: fused Pallas block (fwd + bwd kernels)")
-    parser.add_argument("--deform", choices=["gather", "mxu"],
+    parser.add_argument("--deform", choices=["gather", "mxu", "fused"],
                         default="gather",
                         help="vrt: deformable sampling path (MXU 2-hot-"
-                             "matmul kernel, fwd + scatter-free bwd)")
+                             "matmul kernel, fwd + scatter-free bwd); "
+                             "'fused' only affects rvrt-style GDA")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of one timed "
                              "chain into DIR and print a per-op summary")

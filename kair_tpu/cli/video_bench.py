@@ -26,11 +26,13 @@ def main(argv=None):
                         help="fused Pallas attention blocks: (2,8,8) "
                              "mutual+GEGLU TMSA groups (vrt) / self-only "
                              "STL blocks in every RSTB (rvrt)")
-    parser.add_argument("--deform", choices=["gather", "mxu"],
+    parser.add_argument("--deform", choices=["gather", "mxu", "fused"],
                         default="gather",
                         help="deformable sampling path (rvrt GDA / vrt "
-                             "DCN): XLA patch gathers or the Pallas "
-                             "2-hot-matmul kernel (ops/pallas/bilin_mm.py)")
+                             "DCN): XLA patch gathers, the Pallas "
+                             "2-hot-matmul kernel (ops/pallas/bilin_mm.py), "
+                             "or the fused sample+attend GDA kernel "
+                             "(ops/pallas/gda_block.py, rvrt only)")
     parser.add_argument("--compare", action="store_true",
                         help="bench BOTH deform paths interleaved in one "
                              "process (cross-process numbers are not "
@@ -70,7 +72,9 @@ def main(argv=None):
     x = jnp.asarray(np.random.RandomState(0).rand(
         args.batch, args.frames, args.size, args.size, 3), jnp.float32)
 
-    deforms = ["gather", "mxu"] if args.compare else [args.deform]
+    deforms = ([args.deform] if not args.compare
+               else (["gather", "mxu", "fused"] if args.net == "rvrt"
+                     else ["gather", "mxu"]))
     fns, variables = {}, None
     for deform in deforms:
         model = build(deform)

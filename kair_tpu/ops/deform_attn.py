@@ -38,7 +38,10 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
 
     impl: 'gather' — XLA patch gathers (cost ∝ index rows, any frame size);
           'mxu'    — Pallas 2-hot-matmul sampling (ops/pallas/bilin_mm.py,
-                     cost ∝ H·W, wins at small frames where GDA runs)."""
+                     cost ∝ H·W, wins at small frames where GDA runs);
+          'fused'  — single Pallas pass sampling + online-softmax attention
+                     (ops/pallas/gda_block.py; needs heads == groups, the
+                     released-RVRT shape). Falls back loudly otherwise."""
     b, h, w, c = q.shape
     clip = k_feat.shape[1]
     kh, kw = kernel
@@ -64,6 +67,16 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
     ky = (jnp.arange(K) // kw - pad).astype(q.dtype)          # (K,)
     kx = (jnp.arange(K) % kw - pad).astype(q.dtype)
 
+    if impl == "fused":
+        from kair_tpu.ops.pallas.gda_block import gda_fused, gda_supported
+        if gda_supported(c, heads, dg, h, w, clip, K):
+            return gda_fused(q, k_feat, v_feat, offset, kernel, heads, dg,
+                             256, _interpret)
+        from kair_tpu.utils.logger import warn_once
+        warn_once(f"gda-fused-{h}x{w}x{c}-{heads}h{dg}g",
+                  f"deform_attention impl='fused' unsupported at {h}x{w} "
+                  f"c={c} heads={heads} dg={dg}: using the gather path")
+        impl = "gather"
     if impl == "mxu":
         from kair_tpu.ops.pallas.bilin_mm import (bilinear_sample_mm,
                                                   route_impl)

@@ -1,0 +1,85 @@
+"""Fused GDA kernel (ops/pallas/gda_block.py) vs the composed gather path
+— equality in interpret mode, gradient parity, and the support gate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kair_tpu.ops.deform_attn import deform_attention
+from kair_tpu.ops.pallas.gda_block import gda_fused, gda_supported
+
+
+def make_case(b=1, clip=2, h=16, w=16, c=48, dg=6, heads=6, K=9, seed=0,
+              off_scale=3.0):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(b, h, w, c).astype(np.float32)
+    k = rng.randn(b, clip, h, w, c).astype(np.float32)
+    v = rng.randn(b, clip, h, w, c).astype(np.float32)
+    off = (rng.randn(b, clip, h, w, dg * K * 2) * off_scale).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(off)
+
+
+def test_fused_equals_gather_interpret():
+    q, k, v, off = make_case()
+    want = deform_attention(q, k, v, off, (3, 3), 6, 6, impl="gather")
+    got = gda_fused(q, k, v, off, (3, 3), 6, 6, 256, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_impl_dispatch_interpret():
+    q, k, v, off = make_case(seed=1)
+    want = deform_attention(q, k, v, off, (3, 3), 6, 6, impl="gather")
+    got = deform_attention(q, k, v, off, (3, 3), 6, 6, impl="fused",
+                           _interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_large_offsets_out_of_frame():
+    """Samples pushed outside the frame must contribute zeros-keys (score
+    against zero vector) exactly like the gather path's zeros padding."""
+    q, k, v, off = make_case(seed=2, off_scale=30.0)
+    want = deform_attention(q, k, v, off, (3, 3), 6, 6, impl="gather")
+    got = gda_fused(q, k, v, off, (3, 3), 6, 6, 256, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_grad_matches_gather():
+    q, k, v, off = make_case(h=8, w=8, c=24, dg=3, heads=3, seed=3)
+
+    def loss_fused(q, k, v, off):
+        o = gda_fused(q, k, v, off, (3, 3), 3, 3, 256, True)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    def loss_gather(q, k, v, off):
+        o = deform_attention(q, k, v, off, (3, 3), 3, 3, impl="gather")
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, off)
+    gg = jax.grad(loss_gather, argnums=(0, 1, 2, 3))(q, k, v, off)
+    for a, b in zip(gf, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_support_gate():
+    # released RVRT shape: ok
+    assert gda_supported(288, 12, 12, 64, 64, 2, 9)
+    # heads != groups: reject
+    assert not gda_supported(288, 12, 6, 64, 64, 2, 9)
+    # frame too large for the VMEM slab: reject
+    assert not gda_supported(288, 12, 12, 256, 256, 2, 9)
+
+
+def test_fused_dispatch_falls_back_loudly():
+    # heads != dg → gather fallback, same numbers
+    q, k, v, off = make_case(c=48, dg=6, heads=3, seed=4)
+    want = deform_attention(q, k, v, off, (3, 3), 3, 6, impl="gather")
+    got = deform_attention(q, k, v, off, (3, 3), 3, 6, impl="fused",
+                           _interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
