@@ -136,17 +136,40 @@ class GuidedDeformAttnPack(nn.Module):
         v_p = nn.Dense(pc, dtype=self.dtype, name="proj_v")(v)
 
         # per query frame j, KV clip frame order is (n + j) % clip
-        # (deform_attn_cuda_pt110.cpp:101-105)
-        outs = []
-        for j in range(t):
-            kj = jnp.stack([k_p[:, (n + j) % self.clip_size]
+        # (deform_attn_cuda_pt110.cpp:101-105).
+        if self.deform_impl == "gather":
+            # keep per-frame calls: many small gather index sets beat one
+            # big one on the TPU gather path (measured 2x on the analogous
+            # VRT alignment batch — test_video_parity.py:139 note)
+            outs = []
+            for j in range(t):
+                kj = jnp.stack([k_p[:, (n + j) % self.clip_size]
+                                for n in range(self.clip_size)], axis=1)
+                vj = jnp.stack([v_p[:, (n + j) % self.clip_size]
+                                for n in range(self.clip_size)], axis=1)
+                outs.append(deform_attention(
+                    q_p[:, j], kj, vj, offset[:, j], self.attention_window,
+                    self.attention_heads, dg, impl=self.deform_impl))
+            out = jnp.stack(outs, axis=1)                # (B,t,H,W,2C)
+        else:
+            # mxu/fused: matmul cost is batch-linear, so all t query frames
+            # ride ONE call (batch b·t) — fewer, larger kernels (round 4)
+            kj = jnp.stack(
+                [jnp.stack([k_p[:, (n + j) % self.clip_size]
                             for n in range(self.clip_size)], axis=1)
-            vj = jnp.stack([v_p[:, (n + j) % self.clip_size]
+                 for j in range(t)], axis=1)             # (B,t,clip,H,W,2C)
+            vj = jnp.stack(
+                [jnp.stack([v_p[:, (n + j) % self.clip_size]
                             for n in range(self.clip_size)], axis=1)
-            outs.append(deform_attention(
-                q_p[:, j], kj, vj, offset[:, j], self.attention_window,
-                self.attention_heads, dg, impl=self.deform_impl))
-        out = jnp.stack(outs, axis=1)                    # (B,t,H,W,2C)
+                 for j in range(t)], axis=1)
+            out = deform_attention(
+                q_p.reshape(b * t, h, w, pc),
+                kj.reshape(b * t, self.clip_size, h, w, pc),
+                vj.reshape(b * t, self.clip_size, h, w, pc),
+                offset.reshape(b * t, self.clip_size, h, w, -1),
+                self.attention_window, self.attention_heads, dg,
+                impl=self.deform_impl)
+            out = out.reshape(b, t, h, w, pc)            # (B,t,H,W,2C)
 
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         # plain MLP residual (reference :231-234, op/deform_attn.py Mlp)

@@ -75,6 +75,39 @@ def test_support_gate():
     assert not gda_supported(288, 12, 12, 256, 256, 2, 9)
 
 
+@pytest.mark.slow
+def test_rvrt_deform_fused_matches_gather():
+    """Full tiny-RVRT forward with deform_impl='fused' == default path —
+    also covers the batched (b·t) GDA call the non-gather impls use
+    (models/rvrt.py GuidedDeformAttnPack)."""
+    from unittest import mock
+    from kair_tpu.models.rvrt import RVRT
+
+    def tiny(impl):
+        return RVRT(upscale=4, clip_size=2, window_size=(2, 4, 4),
+                    num_blocks=(1, 1, 1), depths=(1, 1, 1),
+                    embed_dims=(16, 16, 16), num_heads=(2, 2, 2),
+                    inputconv_groups=(1, 1, 1, 1, 1, 1),
+                    deformable_groups=2, attention_heads=2,
+                    attention_window=(3, 3), deform_impl=impl)
+
+    import kair_tpu.ops.pallas.gda_block as gb
+    orig = gb._fused_fwd_impl
+    patch = mock.patch.object(
+        gb, "_fused_fwd_impl",
+        lambda q, k, v, o, kern, hh, dgg, rt, _i: orig(
+            q, k, v, o, kern, hh, dgg, rt, True))
+
+    rng = np.random.RandomState(5)
+    lqs = rng.rand(1, 4, 64, 64, 3).astype(np.float32)
+    model_g = tiny("gather")
+    variables = model_g.init(jax.random.PRNGKey(0), lqs)
+    want = np.asarray(model_g.apply(variables, lqs))
+    with patch:
+        got = np.asarray(tiny("fused").apply(variables, lqs))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
 def test_fused_dispatch_falls_back_loudly():
     # heads != dg → gather fallback, same numbers
     q, k, v, off = make_case(c=48, dg=6, heads=3, seed=4)
