@@ -269,3 +269,52 @@ def test_grid_sharded_video_vrt_matches_host_loop():
     got = np.asarray(tiled(xs))
     assert got.shape == (1, 2, 384, 384, 3)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@requires_8dev
+def test_cli_train_data_parallel(tmp_path):
+    """cli.train with gpu_ids [0..7] builds the ('data',) mesh and runs
+    sharded steps out of the box (the reference needs torchrun+DDP for
+    this, main_train_psnr.py:36-60)."""
+    import json
+    import os
+
+    import imageio.v2 as iio
+
+    from kair_tpu.cli import train as cli_train
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "trainH").mkdir()
+    for i in range(16):
+        iio.imwrite(str(tmp_path / "trainH" / f"im{i}.png"),
+                    (rng.rand(48, 48) * 255).astype(np.uint8))
+    opt = {
+        "task": "dp_smoke", "model": "plain",
+        "gpu_ids": list(range(8)), "scale": 1, "n_channels": 1,
+        "path": {"root": str(tmp_path / "runs")},
+        "datasets": {"train": {
+            "name": "t", "dataset_type": "dncnn",
+            "dataroot_H": str(tmp_path / "trainH"), "H_size": 16,
+            "sigma": 25, "sigma_test": 25, "dataloader_shuffle": True,
+            "dataloader_num_workers": 0, "dataloader_batch_size": 8}},
+        "netG": {"net_type": "dncnn", "in_nc": 1, "out_nc": 1, "nc": 8,
+                 "nb": 3, "act_mode": "R", "init_type": "orthogonal",
+                 "init_gain": 0.2},
+        "train": {"G_lossfn_type": "l1", "G_optimizer_lr": 1e-3,
+                  "G_scheduler_milestones": [1000], "E_decay": 0,
+                  "manual_seed": 0, "checkpoint_print": 1,
+                  "checkpoint_save": 1000, "checkpoint_test": 1000},
+    }
+    opt_path = tmp_path / "opt.json"
+    opt_path.write_text(json.dumps(opt))
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        state = cli_train.main(argv=["--opt", str(opt_path),
+                                     "--max_steps", "3"])
+    finally:
+        os.chdir(cwd)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # params were mesh-placed (replicated over all 8 devices)
+    assert len(leaves[0].sharding.device_set) == 8
