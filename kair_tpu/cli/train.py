@@ -170,23 +170,12 @@ def main(json_path: Optional[str] = None, argv=None):
 
     # data parallelism: gpu_ids with >1 entry becomes a ('data',) mesh —
     # params replicated, batch sharded, gradient psum inserted by XLA
-    # (replaces the reference's torchrun+DDP, main_train_psnr.py:36-60;
-    # equivalence proven bitwise in tests/test_parallel.py:19)
-    mesh = None
-    n_req = int(opt.get("num_gpu") or 1)
-    n_dev = min(n_req, len(jax.devices()))
-    if n_dev > 1:
-        from kair_tpu.parallel.mesh import (make_mesh, replicate_state,
-                                            shard_batch)
-        bs0 = next(v.shape[0] for v in batch0.values() if v.ndim >= 1)
-        if bs0 % n_dev:
-            logger.warning(f"batch {bs0} not divisible by {n_dev} devices; "
-                           "staying single-device")
-        else:
-            mesh = make_mesh(data=n_dev, devices=jax.devices()[:n_dev])
-            state = replicate_state(mesh, state)
-            logger.info(f"data-parallel over {n_dev} devices "
-                        f"({bs0 // n_dev}/device)")
+    # (equivalence proven bitwise in tests/test_parallel.py:19)
+    from kair_tpu.parallel.mesh import (data_parallel_mesh, replicate_state,
+                                        shard_batch)
+    mesh = data_parallel_mesh(opt.get("num_gpu"), batch0, logger.info)
+    if mesh is not None:
+        state = replicate_state(mesh, state)
 
     train_step = trainer.make_train_step()
 

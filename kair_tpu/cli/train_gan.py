@@ -70,6 +70,12 @@ def main(json_path: Optional[str] = None, argv=None):
         state = ck.load_pytree(init_path, target=state)
     current_step = int(init_iter)
 
+    from kair_tpu.parallel.mesh import (data_parallel_mesh, replicate_state,
+                                        shard_batch)
+    mesh = data_parallel_mesh(opt.get("num_gpu"), arrays0, logger.info)
+    if mesh is not None:
+        state = replicate_state(mesh, state)
+
     step_gd = trainer.make_train_step(update_g=True)
     step_d = trainer.make_train_step(update_g=False)
 
@@ -107,6 +113,8 @@ def main(json_path: Optional[str] = None, argv=None):
                 return state
             current_step += 1
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
             fn = step_gd if trainer.should_update_g(current_step) else step_d
             state, m = fn(state, arrays)
 

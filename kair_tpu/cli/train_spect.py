@@ -76,6 +76,12 @@ def main(json_path: Optional[str] = None, argv=None):
         state = ck.load_pytree(init_path, target=state)
     current_step = int(init_iter)
 
+    from kair_tpu.parallel.mesh import (data_parallel_mesh, replicate_state,
+                                        shard_batch)
+    mesh = data_parallel_mesh(opt.get("num_gpu"), arrays0, logger.info)
+    if mesh is not None:
+        state = replicate_state(mesh, state)
+
     step = trainer.make_train_step()
     eval_step = trainer.make_eval_step(use_ema=opt["train"].get("E_decay", 0) > 0)
 
@@ -125,6 +131,8 @@ def main(json_path: Optional[str] = None, argv=None):
                 return state
             current_step += 1
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
             state, m = step(state, arrays)
 
             if current_step % print_every == 0:

@@ -74,3 +74,23 @@ def replicate_state(mesh: Mesh, state):
     for data-parallel; tensor-parallel shardings would annotate here)."""
     rep = replicated(mesh)
     return jax.device_put(state, rep)
+
+
+def data_parallel_mesh(n_requested: int, batch0: dict, log=None):
+    """Mesh for the train CLIs: gpu_ids with >1 entry becomes a ('data',)
+    mesh when enough devices exist and the batch divides them; returns None
+    (single-device) otherwise, loudly. (Replaces the reference's
+    torchrun+DDP entry, main_train_psnr.py:36-60.)"""
+    say = log or (lambda *_: None)
+    n_dev = min(int(n_requested or 1), len(jax.devices()))
+    if n_dev <= 1:
+        return None
+    bs0 = next((v.shape[0] for v in batch0.values()
+                if hasattr(v, "ndim") and v.ndim >= 1), None)
+    if not bs0 or bs0 % n_dev:
+        say(f"batch {bs0} not divisible by {n_dev} devices; "
+            "staying single-device")
+        return None
+    mesh = make_mesh(data=n_dev, devices=jax.devices()[:n_dev])
+    say(f"data-parallel over {n_dev} devices ({bs0 // n_dev}/device)")
+    return mesh
