@@ -31,25 +31,10 @@ import time
 
 import numpy as np
 
-# Published bf16 peak TFLOP/s per chip, keyed by substrings of
-# jax.devices()[0].device_kind. Used for the MFU self-score; an unknown
-# kind (e.g. CPU interpret) reports mfu=null rather than a wrong number
-# (ADVICE r3: bench.py:150).
-PEAK_BF16_TFLOPS = {
-    "v6e": 918.0, "v6": 918.0,
-    "v5e": 197.0, "v5 lite": 197.0, "v5litepod": 197.0,
-    "v5p": 459.0,
-    "v4": 275.0,
-}
-
-
-def peak_for_device_kind(kind: str):
-    k = kind.lower()
-    # try the most specific substrings first
-    for sub in ("v5litepod", "v5 lite", "v6e", "v5e", "v5p", "v6", "v4"):
-        if sub in k:
-            return PEAK_BF16_TFLOPS[sub]
-    return None
+# Per-chip bf16 peak table lives with the package's summary tooling so
+# the video/train benches share it; an unknown kind (e.g. CPU interpret)
+# reports mfu=null rather than a wrong number (ADVICE r3: bench.py:150).
+from kair_tpu.utils.summary import peak_for_device_kind  # noqa: E402
 
 
 def wait_for_backend(total_budget_s: float = 900.0, probe_timeout_s: float = 150.0):

@@ -14,6 +14,25 @@ import jax
 import numpy as np
 
 
+# Published bf16 peak TFLOP/s per chip, keyed by substrings of
+# jax.devices()[0].device_kind (used for MFU self-scores; unknown kinds —
+# e.g. CPU — report None rather than a wrong number).
+PEAK_BF16_TFLOPS = {
+    "v6e": 918.0, "v6": 918.0,
+    "v5e": 197.0, "v5 lite": 197.0, "v5litepod": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+}
+
+
+def peak_for_device_kind(kind: str) -> Optional[float]:
+    k = kind.lower()
+    for sub in ("v5litepod", "v5 lite", "v6e", "v5e", "v5p", "v6", "v4"):
+        if sub in k:
+            return PEAK_BF16_TFLOPS[sub]
+    return None
+
+
 def count_params(params: Any) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 

@@ -51,9 +51,9 @@ OPT = {
         "G_lossfn_type": "l1", "G_lossfn_weight": 1.0, "E_decay": 0,
         "manual_seed": 0,
         "G_optimizer_type": "adam", "G_optimizer_lr": 2e-4,
-        # compressed schedule for the 50k-step run (the released model
-        # trained ~400k steps on 400 BSD images; small-corpus + bigger
-        # batch converges much earlier)
+        # compressed schedule (the released model trained ~400k steps on
+        # 400 BSD images; small-corpus + bigger batch converges earlier);
+        # milestones are scaled to --steps in main()
         "G_scheduler_type": "MultiStepLR",
         "G_scheduler_milestones": [20000, 32000, 40000, 46000],
         "G_scheduler_gamma": 0.5,
@@ -93,7 +93,18 @@ def main():
                     help="force the CPU backend (fallback when the TPU "
                          "tunnel is down; ~50x slower)")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--schedule_steps", type=int, default=None,
+                    help="pin the LR schedule to this total length (for "
+                         "staged/resumed runs); defaults to --steps")
     args = ap.parse_args()
+
+    # scale the LR decay points to the (intended total) run length
+    total = args.schedule_steps or args.steps
+    OPT["train"]["G_scheduler_milestones"] = [
+        int(total * f) for f in (0.4, 0.64, 0.8, 0.92)]
+    OPT["datasets"]["train"]["dataloader_batch_size"] = args.batch
+    OPT["train"]["checkpoint_save"] = 2000      # staged runs resume cheaply
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
