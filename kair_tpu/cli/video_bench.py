@@ -31,8 +31,9 @@ def main(argv=None):
                         help="deformable sampling path (rvrt GDA / vrt "
                              "DCN): XLA patch gathers, the Pallas "
                              "2-hot-matmul kernel (ops/pallas/bilin_mm.py), "
-                             "or the fused sample+attend GDA kernel "
-                             "(ops/pallas/gda_block.py, rvrt only)")
+                             "or the fully fused kernels (sample+attend "
+                             "GDA, ops/pallas/gda_block.py; sample+"
+                             "modulate+conv DCN, ops/pallas/dcn_block.py)")
     parser.add_argument("--compare", action="store_true",
                         help="bench BOTH deform paths interleaved in one "
                              "process (cross-process numbers are not "
@@ -72,9 +73,9 @@ def main(argv=None):
     x = jnp.asarray(np.random.RandomState(0).rand(
         args.batch, args.frames, args.size, args.size, 3), jnp.float32)
 
-    deforms = ([args.deform] if not args.compare
-               else (["gather", "mxu", "fused"] if args.net == "rvrt"
-                     else ["gather", "mxu"]))
+    # both nets support all three paths now: rvrt GDA via gda_block,
+    # vrt DCN via dcn_block
+    deforms = ["gather", "mxu", "fused"] if args.compare else [args.deform]
     fns, variables = {}, None
     for deform in deforms:
         model = build(deform)

@@ -200,6 +200,19 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
     cg = cin // dg
     xg = x.reshape(n, h, w, dg, cg)
 
+    if impl == "fused":
+        from kair_tpu.ops.pallas.dcn_block import dcn_fused, dcn_supported
+        if dcn_supported(h, w, cin, dg, stride, dilation):
+            out = dcn_fused(x, offset, mask, weight, stride, padding,
+                            dilation, dg, 256, _interpret)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
+        from kair_tpu.utils.logger import warn_once
+        warn_once(f"dcn-fused-{h}x{w}x{cin}-{dg}g",
+                  f"modulated_deform_conv impl='fused' unsupported at "
+                  f"{h}x{w} cin={cin} dg={dg}: using the gather path")
+        impl = "gather"
     if impl == "mxu":
         from kair_tpu.ops.pallas.bilin_mm import (bilinear_sample_mm,
                                                   route_impl)
