@@ -132,7 +132,9 @@ def _xspace_op_times(data: bytes, top: int):
                         events.append((mid, dur))
         for mid, dur in events:
             name = meta.get(mid)
-            if not name:
+            # skip profiler bookkeeping pseudo-events that shadow real ops
+            if not name or name in ("hlo_op", "run_id", "_c", "_ct",
+                                    "program_id", "device_ordinal"):
                 continue
             t, c = totals.get(name, (0, 0))
             totals[name] = (t + dur, c + 1)
