@@ -97,6 +97,14 @@ def main():
     ap.add_argument("--schedule_steps", type=int, default=None,
                     help="pin the LR schedule to this total length (for "
                          "staged/resumed runs); defaults to --steps")
+    ap.add_argument("--root", default="runs/convergence",
+                    help="run root (task dir, opt snapshot, report.json); "
+                         "the prepared train/test data stays under "
+                         "runs/convergence regardless")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training: load the newest saved checkpoint, "
+                         "run the released-weights comparison, write the "
+                         "report (use when a staged run is cut short)")
     args = ap.parse_args()
 
     # scale the LR decay points to the (intended total) run length
@@ -104,7 +112,8 @@ def main():
     OPT["train"]["G_scheduler_milestones"] = [
         int(total * f) for f in (0.4, 0.64, 0.8, 0.92)]
     OPT["datasets"]["train"]["dataloader_batch_size"] = args.batch
-    OPT["train"]["checkpoint_save"] = 2000      # staged runs resume cheaply
+    OPT["train"]["checkpoint_save"] = 1000      # staged runs resume cheaply
+    OPT["train"]["checkpoint_print"] = 100
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -115,15 +124,36 @@ def main():
     if not os.path.isdir("runs/convergence/trainH"):
         raise SystemExit("run scripts/prep_convergence_data.py first")
 
-    opt_path = "runs/convergence/opt_dncnn25.json"
+    OPT["path"]["root"] = args.root
+    os.makedirs(args.root, exist_ok=True)
+    opt_path = os.path.join(args.root, "opt_dncnn25.json")
     with open(opt_path, "w") as f:
         json.dump(OPT, f, indent=2)
 
     from kair_tpu.cli import train as cli_train
 
     t0 = time.time()
-    state = cli_train.main(argv=["--opt", opt_path, "--dtype", args.dtype,
-                                 "--max_steps", str(args.steps)])
+    if args.eval_only:
+        # reconstruct the TrainState skeleton, then load the newest save
+        import jax as _jax
+        import jax.numpy as _jnp
+        from kair_tpu import config as opt_util
+        from kair_tpu.ckpt import checkpoint as ck
+
+        opt = opt_util.parse(opt_path, is_train=True)
+        trainer = cli_train.build_trainer(opt)
+        zeros = _jnp.zeros((1, 40, 40, 1), _jnp.float32)
+        skel = trainer.init_state(_jax.random.PRNGKey(0),
+                                  {"L": zeros, "H": zeros})
+        it, path = opt_util.find_last_checkpoint(opt["path"]["models"], "S")
+        if not (path and os.path.exists(path)):
+            raise SystemExit("no saved checkpoint to evaluate")
+        print(f"eval_only: {path} @ iter {it}")
+        state = ck.load_pytree(path, target=skel)
+        args.steps = it
+    else:
+        state = cli_train.main(argv=["--opt", opt_path, "--dtype", args.dtype,
+                                     "--max_steps", str(args.steps)])
     wall_s = time.time() - t0
 
     # ---- compare against the released checkpoint ------------------------
@@ -141,7 +171,7 @@ def main():
 
     report = {
         "steps": args.steps,
-        "wall_s": round(wall_s, 1),
+        "wall_s": None if args.eval_only else round(wall_s, 1),
         "device": str(jax.devices()[0]),
         "heldout_images": len(files),
         "noisy_psnr": round(noisy, 2),
@@ -149,7 +179,7 @@ def main():
         "released_dncnn25_psnr": round(released, 2),
         "gap_db": round(released - ours, 2),
     }
-    with open("runs/convergence/report.json", "w") as f:
+    with open(os.path.join(args.root, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
     print(f"\n| from-scratch ({args.steps} steps, {wall_s/60:.0f} min) | "
