@@ -301,4 +301,90 @@ void loader_augment(const uint8_t* src, int ps, int c, int mode,
 
 void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
+// ------------------------------------------------ paired SR loader
+// The dataset_sr train protocol (kair_tpu/data/datasets.py DatasetSR,
+// reference data/dataset_sr.py): random L crop of l_ps, the aligned H crop
+// at (ry*sf, rx*sf) of l_ps*sf, the SAME 8-mode augmentation on both.
+// Requires pre-generated LR files (dataroot_L); the on-the-fly bicubic
+// fallback stays on the python path.
+
+struct PairLoader {
+  std::vector<Image> l, h;
+  int n_channels = 3;
+  int n_threads = 4;
+};
+
+void* pair_loader_create(const char** paths_l, const char** paths_h, int n,
+                         int n_channels, int n_threads) {
+  auto* P = new PairLoader;
+  P->n_channels = n_channels;
+  P->n_threads = n_threads;
+  P->l.resize(n);
+  P->h.resize(n);
+  std::atomic<bool> ok(true);
+  parallel_for(n_threads, 2 * n, [&](int i, int) {
+    Image* dst = i < n ? &P->l[i] : &P->h[i - n];
+    const char* path = i < n ? paths_l[i] : paths_h[i - n];
+    if (!decode_image(path, n_channels, dst)) ok = false;
+  });
+  if (!ok) {
+    delete P;
+    return nullptr;
+  }
+  return P;
+}
+
+int pair_loader_num(void* handle) {
+  return static_cast<int>(static_cast<PairLoader*>(handle)->l.size());
+}
+
+// out_L: float32 [batch, l_ps, l_ps, C];  out_H: [batch, l_ps*sf, .., C]
+int pair_loader_sample_sr_batch(void* handle, int batch, int l_ps, int sf,
+                                uint64_t seed, float* out_L, float* out_H) {
+  auto* P = static_cast<PairLoader*>(handle);
+  const int c = P->n_channels;
+  const int h_ps = l_ps * sf;
+  std::atomic<bool> ok(true);
+  parallel_for(P->n_threads, batch, [&](int i, int) {
+    Rng rng(seed + 0x5851F42D4C957F2DULL * (i + 1));
+    uint32_t idx = rng.below(P->l.size());
+    const Image& il = P->l[idx];
+    const Image& ih = P->h[idx];
+    if (il.h < l_ps || il.w < l_ps) {
+      ok = false;
+      return;
+    }
+    int ry = rng.below(il.h - l_ps + 1);
+    int rx = rng.below(il.w - l_ps + 1);
+    if (ih.h < (ry + l_ps) * sf || ih.w < (rx + l_ps) * sf) {
+      ok = false;  // H smaller than sf x L (pairs must be size-consistent)
+      return;
+    }
+    int mode = rng.below(8);
+
+    auto crop_aug = [&](const Image& img, int y0, int x0, int ps,
+                        float* dst) {
+      std::vector<uint8_t> crop(static_cast<size_t>(ps) * ps * c);
+      for (int y = 0; y < ps; ++y)
+        std::memcpy(crop.data() + static_cast<size_t>(y) * ps * c,
+                    img.data.data() +
+                        ((static_cast<size_t>(y0) + y) * img.w + x0) * c,
+                    static_cast<size_t>(ps) * c);
+      std::vector<uint8_t> aug(crop.size());
+      augment_patch(crop.data(), ps, c, mode, aug.data());
+      const float inv255 = 1.0f / 255.0f;
+      for (size_t k = 0; k < aug.size(); ++k) dst[k] = aug[k] * inv255;
+    };
+    crop_aug(il, ry, rx, l_ps,
+             out_L + static_cast<size_t>(i) * l_ps * l_ps * c);
+    crop_aug(ih, ry * sf, rx * sf, h_ps,
+             out_H + static_cast<size_t>(i) * h_ps * h_ps * c);
+  });
+  return ok ? 0 : -1;
+}
+
+void pair_loader_destroy(void* handle) {
+  delete static_cast<PairLoader*>(handle);
+}
+
 }  // extern "C"

@@ -55,6 +55,18 @@ def _load_lib():
     lib.loader_augment.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.pair_loader_create.restype = ctypes.c_void_p
+    lib.pair_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.pair_loader_num.restype = ctypes.c_int
+    lib.pair_loader_num.argtypes = [ctypes.c_void_p]
+    lib.pair_loader_sample_sr_batch.restype = ctypes.c_int
+    lib.pair_loader_sample_sr_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.pair_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -118,3 +130,109 @@ class NativePatchLoader:
         if getattr(self, "_handle", None):
             self._lib.loader_destroy(self._handle)
             self._handle = None
+
+
+class NativePairLoader:
+    """RAM-cached native loader for paired-SR training batches
+    (pre-generated LR files; the dataset_sr.py train protocol)."""
+
+    def __init__(self, paths_l: Sequence[str], paths_h: Sequence[str],
+                 n_channels: int = 3, n_threads: int = 8):
+        assert len(paths_l) == len(paths_h)
+        lib = _load_lib()
+        arr_l = (ctypes.c_char_p * len(paths_l))(*[p.encode() for p in paths_l])
+        arr_h = (ctypes.c_char_p * len(paths_h))(*[p.encode() for p in paths_h])
+        self._handle = lib.pair_loader_create(arr_l, arr_h, len(paths_l),
+                                              n_channels, n_threads)
+        if not self._handle:
+            raise RuntimeError(f"native pair loader failed to decode "
+                               f"{len(paths_l)} pairs")
+        self._lib = lib
+        self.n_channels = n_channels
+        self.n_pairs = lib.pair_loader_num(self._handle)
+
+    def sample_sr_batch(self, batch: int, l_patch: int, sf: int, seed: int):
+        """→ dict(L, H) float32 NHWC; H is (l_patch·sf)² — aligned crops,
+        shared augment mode (datasets.py DatasetSR.get_example)."""
+        out_l = np.empty((batch, l_patch, l_patch, self.n_channels),
+                         np.float32)
+        out_h = np.empty((batch, l_patch * sf, l_patch * sf,
+                          self.n_channels), np.float32)
+        rc = self._lib.pair_loader_sample_sr_batch(
+            self._handle, batch, l_patch, sf, ctypes.c_uint64(seed),
+            out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise RuntimeError("patch larger than an image, or an H file "
+                               "smaller than sf x its L file")
+        return {"L": out_l, "H": out_h}
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.pair_loader_destroy(self._handle)
+            self._handle = None
+
+
+class NativeEpochLoader:
+    """Drop-in replacement for :class:`kair_tpu.data.base.Loader` on
+    supported train sets: batches come straight from the C++ thread pool
+    (decode-once RAM cache, crop/augment/degrade off the GIL) instead of
+    the per-example Python path. Same epoch() protocol the train loop
+    iterates (cli/train.py) — the TPU-host counterpart of the reference's
+    num_workers>0 torch DataLoader (main_train_psnr.py:116-145).
+
+    Supported protocols; callers fall back to the Python Loader otherwise:
+    * ``dncnn`` with fixed scalar sigma (dataset_dncnn.py:44-75)
+    * ``sr``/``plain`` with pre-generated LR files (dataset_sr.py train
+      branch; the on-the-fly bicubic downscale stays python-side)
+    """
+
+    def __init__(self, ds_opt: dict, batch_size: int, seed: int = 0):
+        from kair_tpu.utils import image as im
+
+        def listing(root):
+            return list(root) if isinstance(root, (list, tuple)) \
+                else im.get_image_paths(root)
+
+        kind = (ds_opt.get("dataset_type") or "dncnn").lower()
+        threads = ds_opt.get("dataloader_num_workers") or 8
+        self.batch_size = batch_size
+        self.seed = seed
+        if kind == "dncnn":
+            sigma = ds_opt.get("sigma")
+            if isinstance(sigma, (list, tuple)):
+                raise ValueError("native loader supports fixed sigma only")
+            paths = listing(ds_opt["dataroot_H"])
+            self._native = NativePatchLoader(
+                paths, n_channels=ds_opt.get("n_channels") or 1,
+                n_threads=threads)
+            self.patch_size = ds_opt.get("H_size") or 64
+            self.sigma = float(sigma or 25)
+            self.n_images = self._native.n_images
+            self._sample = lambda s: self._native.sample_awgn_batch(
+                self.batch_size, self.patch_size, self.sigma, seed=s)
+        elif kind in ("sr", "plain"):
+            if not ds_opt.get("dataroot_L"):
+                raise ValueError("native sr loader needs pre-generated LR "
+                                 "files (dataroot_L)")
+            paths_h = listing(ds_opt["dataroot_H"])
+            paths_l = listing(ds_opt["dataroot_L"])
+            self.sf = (ds_opt.get("scale") or 4) if kind == "sr" else 1
+            self.patch_size = ds_opt.get("H_size") or (96 if kind == "sr"
+                                                       else 64)
+            l_patch = self.patch_size // self.sf
+            self._native = NativePairLoader(
+                paths_l, paths_h, n_channels=ds_opt.get("n_channels") or 3,
+                n_threads=threads)
+            self.n_images = self._native.n_pairs
+            self._sample = lambda s: self._native.sample_sr_batch(
+                self.batch_size, l_patch, self.sf, seed=s)
+        else:
+            raise ValueError(f"no native protocol for dataset_type {kind!r}")
+
+    def __len__(self) -> int:
+        return max(1, self.n_images // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        for i in range(len(self)):
+            yield self._sample((self.seed + epoch) * 1_000_003 + i)
