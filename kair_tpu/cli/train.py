@@ -27,7 +27,7 @@ import numpy as np
 from kair_tpu import config as opt_util
 from kair_tpu.ckpt import checkpoint as ck
 from kair_tpu.data.base import Loader
-from kair_tpu.data.datasets import define_dataset
+from kair_tpu.data.datasets import define_dataset, make_train_loader
 from kair_tpu.train.trainer import PlainTrainer, TrainState
 from kair_tpu.utils import image as im
 from kair_tpu.utils.logger import setup_logger
@@ -144,27 +144,11 @@ def main(json_path: Optional[str] = None, argv=None):
     test_is_video = False
     for phase, ds_opt in opt["datasets"].items():
         if phase == "train":
-            bs = ds_opt.get("dataloader_batch_size") or 16
-            if ds_opt.get("use_native_loader") and \
-                    (ds_opt.get("dataset_type") or "").lower() in (
-                        "dncnn", "sr", "plain"):
-                # C++ thread-pool batcher (decode/crop/augment/AWGN off the
-                # GIL) — keeps a single-core host from starving the chip
-                try:
-                    from kair_tpu.data.native_loader import NativeEpochLoader
-                    train_loader = NativeEpochLoader(ds_opt, bs, seed=seed)
-                    logger.info(f"train images: {train_loader.n_images} "
-                                f"(native C++ loader), iters/epoch: "
-                                f"{len(train_loader)}")
-                except Exception as e:          # toolchain/format fallback
-                    logger.info(f"native loader unavailable ({e}); "
-                                "using the python loader")
-            if train_loader is None:
-                ds = define_dataset(ds_opt)
-                train_loader = Loader(ds, bs,
-                                      shuffle=bool(ds_opt.get("dataloader_shuffle", True)),
-                                      seed=seed)
-                logger.info(f"train images: {len(ds)}, iters/epoch: {len(train_loader)}")
+            # native C++ batcher when opted in (decode/crop/augment/degrade
+            # off the GIL — keeps a single-core host from starving the chip)
+            train_loader = make_train_loader(
+                ds_opt, ds_opt.get("dataloader_batch_size") or 16,
+                seed=seed, info=logger.info)
         elif phase == "test":
             ds = define_dataset(ds_opt)
             test_loader = Loader(ds, 1, shuffle=False, drop_last=False)

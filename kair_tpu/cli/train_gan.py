@@ -18,7 +18,7 @@ import numpy as np
 from kair_tpu import config as opt_util
 from kair_tpu.ckpt import checkpoint as ck
 from kair_tpu.data.base import Loader
-from kair_tpu.data.datasets import define_dataset
+from kair_tpu.data.datasets import define_dataset, make_train_loader
 from kair_tpu.utils import image as im
 from kair_tpu.utils.logger import setup_logger
 from kair_tpu.utils.metrics_log import MetricsLogger
@@ -51,9 +51,9 @@ def main(json_path: Optional[str] = None, argv=None):
     train_loader = test_loader = None
     for phase, ds_opt in opt["datasets"].items():
         if phase == "train":
-            ds = define_dataset(ds_opt)
-            train_loader = Loader(ds, ds_opt.get("dataloader_batch_size") or 16,
-                                  seed=seed)
+            train_loader = make_train_loader(
+                ds_opt, ds_opt.get("dataloader_batch_size") or 16,
+                seed=seed, info=logger.info)
         elif phase == "test":
             test_loader = Loader(define_dataset(ds_opt), 1, shuffle=False,
                                  drop_last=False)

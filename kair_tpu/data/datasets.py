@@ -236,3 +236,32 @@ def define_dataset(opt_ds: dict) -> Dataset:
     # provided by their own modules
     from kair_tpu.data import extra_registry
     return extra_registry.build(t, opt_ds)
+
+
+def make_train_loader(ds_opt: dict, batch_size: int, seed: int = 0,
+                      info=lambda s: None):
+    """Build the training batch source for a dataset option block: the
+    native C++ epoch loader when opted in and the protocol is supported
+    (see native_loader.NativeEpochLoader), else the python Loader. Both
+    speak the same epoch() protocol the train loops iterate."""
+    from kair_tpu.data.base import Loader
+
+    if ds_opt.get("use_native_loader") and \
+            (ds_opt.get("dataset_type") or "").lower() in (
+                "dncnn", "sr", "plain"):
+        try:
+            from kair_tpu.data import native_loader
+            ld = native_loader.NativeEpochLoader(ds_opt, batch_size,
+                                                 seed=seed)
+            info(f"train images: {ld.n_images} (native C++ loader), "
+                 f"iters/epoch: {len(ld)}")
+            return ld
+        except Exception as e:              # toolchain/format fallback
+            info(f"native loader unavailable ({e}); "
+                 "using the python loader")
+    ds = define_dataset(ds_opt)
+    ld = Loader(ds, batch_size,
+                shuffle=bool(ds_opt.get("dataloader_shuffle", True)),
+                seed=seed)
+    info(f"train images: {len(ds)}, iters/epoch: {len(ld)}")
+    return ld
