@@ -220,6 +220,9 @@ class NativeEpochLoader:
             self.sf = (ds_opt.get("scale") or 4) if kind == "sr" else 1
             self.patch_size = ds_opt.get("H_size") or (96 if kind == "sr"
                                                        else 64)
+            if self.patch_size % self.sf:
+                raise ValueError(f"H_size {self.patch_size} not divisible "
+                                 f"by scale {self.sf}")
             l_patch = self.patch_size // self.sf
             self._native = NativePairLoader(
                 paths_l, paths_h, n_channels=ds_opt.get("n_channels") or 3,
