@@ -37,6 +37,10 @@ OPT = {
             "H_size": 40, "sigma": 25, "sigma_test": 25,
             "dataloader_shuffle": True, "dataloader_num_workers": 8,
             "dataloader_batch_size": 128,
+            # C++ loader: decode-once RAM cache — the python path re-decodes
+            # ~batch images per step, which on a 1-core host steals real
+            # time from the XLA step
+            "use_native_loader": True,
         },
         "test": {
             "name": "test_dataset", "dataset_type": "dncnn",
