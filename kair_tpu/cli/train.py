@@ -203,7 +203,7 @@ def main(json_path: Optional[str] = None, argv=None):
             if current_step % checkpoint_print == 0:
                 loss = float(metrics["G_loss"])
                 lr = trainer.current_lr(current_step)
-                ips = current_step / max(time.time() - t0, 1e-9)
+                ips = (current_step - init_iter) / max(time.time() - t0, 1e-9)
                 logger.info(f"<epoch:{epoch:3d}, iter:{current_step:8,d}, "
                             f"lr:{lr:.3e}> G_loss: {loss:.3e} it/s: {ips:.2f}")
             if current_step % checkpoint_save == 0:
