@@ -291,6 +291,51 @@ int loader_sample_awgn_batch(void* handle, int batch, int ps, float sigma,
   return ok ? 0 : -1;
 }
 
+// Like loader_sample_awgn_batch but with a per-item noise level drawn
+// uniformly from [sigma_min, sigma_max] (the dataset_fdncnn.py /
+// dataset_ffdnet.py train protocol); the drawn level (already /255) is
+// written to out_level[i] so the python side can build the conditioning
+// channel (H x W map for FDnCNN, scalar C for FFDNet).
+int loader_sample_awgn_range_batch(void* handle, int batch, int ps,
+                                   float sigma_min, float sigma_max,
+                                   uint64_t seed, float* out_L, float* out_H,
+                                   float* out_level) {
+  auto* L = static_cast<Loader*>(handle);
+  const int c = L->n_channels;
+  std::atomic<bool> ok(true);
+  parallel_for(L->n_threads, batch, [&](int i, int) {
+    Rng rng(seed + 0x5851F42D4C957F2DULL * (i + 1));
+    const Image& img = L->images[rng.below(L->images.size())];
+    if (img.h < ps || img.w < ps) {
+      ok = false;
+      return;
+    }
+    int ry = rng.below(img.h - ps + 1);
+    int rx = rng.below(img.w - ps + 1);
+    std::vector<uint8_t> crop(static_cast<size_t>(ps) * ps * c);
+    for (int y = 0; y < ps; ++y)
+      std::memcpy(crop.data() + static_cast<size_t>(y) * ps * c,
+                  img.data.data() +
+                      ((static_cast<size_t>(ry) + y) * img.w + rx) * c,
+                  static_cast<size_t>(ps) * c);
+    std::vector<uint8_t> aug(crop.size());
+    augment_patch(crop.data(), ps, c, rng.below(8), aug.data());
+
+    const float nl =
+        (sigma_min + rng.uniform() * (sigma_max - sigma_min)) / 255.0f;
+    out_level[i] = nl;
+    float* h_dst = out_H + static_cast<size_t>(i) * ps * ps * c;
+    float* l_dst = out_L + static_cast<size_t>(i) * ps * ps * c;
+    const float inv255 = 1.0f / 255.0f;
+    for (size_t k = 0; k < aug.size(); ++k) {
+      float v = aug[k] * inv255;
+      h_dst[k] = v;
+      l_dst[k] = v + nl * rng.gauss();
+    }
+  });
+  return ok ? 0 : -1;
+}
+
 // Expose the augmentation table for mode-indexed parity tests against
 // utils_image.augment_img (the geometry must match exactly for seeded
 // python-batch reproduction and x8-ensemble parity).

@@ -248,7 +248,7 @@ def make_train_loader(ds_opt: dict, batch_size: int, seed: int = 0,
 
     if ds_opt.get("use_native_loader") and \
             (ds_opt.get("dataset_type") or "").lower() in (
-                "dncnn", "sr", "plain"):
+                "dncnn", "fdncnn", "ffdnet", "sr", "plain"):
         try:
             from kair_tpu.data import native_loader
             ld = native_loader.NativeEpochLoader(ds_opt, batch_size,

@@ -51,6 +51,12 @@ def _load_lib():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.loader_sample_awgn_range_batch.restype = ctypes.c_int
+    lib.loader_sample_awgn_range_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float)]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     lib.loader_augment.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -126,6 +132,26 @@ class NativePatchLoader:
             raise RuntimeError("patch size larger than an image in the cache")
         return {"L": out_l, "H": out_h}
 
+    def sample_awgn_range_batch(self, batch: int, patch_size: int,
+                                sigma_min: float, sigma_max: float,
+                                seed: int):
+        """→ (dict(L, H), levels (batch,) already /255) with per-item
+        sigma ~ U[sigma_min, sigma_max] — the fdncnn/ffdnet train
+        degradation (dataset_fdncnn.py / dataset_ffdnet.py)."""
+        shape = (batch, patch_size, patch_size, self.n_channels)
+        out_l = np.empty(shape, np.float32)
+        out_h = np.empty(shape, np.float32)
+        levels = np.empty((batch,), np.float32)
+        rc = self._lib.loader_sample_awgn_range_batch(
+            self._handle, batch, patch_size, float(sigma_min),
+            float(sigma_max), ctypes.c_uint64(seed),
+            out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            levels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise RuntimeError("patch size larger than an image in the cache")
+        return {"L": out_l, "H": out_h}, levels
+
     def __del__(self):
         if getattr(self, "_handle", None):
             self._lib.loader_destroy(self._handle)
@@ -183,6 +209,8 @@ class NativeEpochLoader:
 
     Supported protocols; callers fall back to the Python Loader otherwise:
     * ``dncnn`` with fixed scalar sigma (dataset_dncnn.py:44-75)
+    * ``fdncnn``/``ffdnet`` with sigma ~ U[min,max] and the noise-level
+      conditioning (H x W map channel / scalar C) built batch-side
     * ``sr``/``plain`` with pre-generated LR files (dataset_sr.py train
       branch; the on-the-fly bicubic downscale stays python-side)
     """
@@ -211,6 +239,31 @@ class NativeEpochLoader:
             self.n_images = self._native.n_images
             self._sample = lambda s: self._native.sample_awgn_batch(
                 self.batch_size, self.patch_size, self.sigma, seed=s)
+        elif kind in ("fdncnn", "ffdnet"):
+            sigma = ds_opt.get("sigma") or [0, 75]
+            if not isinstance(sigma, (list, tuple)):
+                sigma = [sigma, sigma]
+            smin, smax = float(sigma[0]), float(sigma[1])
+            paths = listing(ds_opt["dataroot_H"])
+            self._native = NativePatchLoader(
+                paths, n_channels=ds_opt.get("n_channels") or 3,
+                n_threads=threads)
+            self.patch_size = ds_opt.get("H_size") or 64
+            self.n_images = self._native.n_images
+
+            def sample(s, _k=kind):
+                b, levels = self._native.sample_awgn_range_batch(
+                    self.batch_size, self.patch_size, smin, smax, seed=s)
+                if _k == "ffdnet":       # scalar C (b,1,1,1): datasets.py:133
+                    b["C"] = levels.reshape(-1, 1, 1, 1)
+                else:                    # map channel in L: datasets.py:96-97
+                    m = np.broadcast_to(
+                        levels[:, None, None, None],
+                        b["L"].shape[:3] + (1,)).astype(np.float32)
+                    b["L"] = np.concatenate([b["L"], m], axis=-1)
+                return b
+
+            self._sample = sample
         elif kind in ("sr", "plain"):
             if not ds_opt.get("dataroot_L"):
                 raise ValueError("native sr loader needs pre-generated LR "

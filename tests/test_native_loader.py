@@ -245,7 +245,35 @@ def test_native_epoch_loader_rejects_unsupported():
         NativeEpochLoader({"dataset_type": "sr", "dataroot_H": ["x"],
                            "dataroot_L": None}, 2)
     with pytest.raises(ValueError):
-        NativeEpochLoader({"dataset_type": "ffdnet", "dataroot_H": ["x"]}, 2)
+        NativeEpochLoader({"dataset_type": "usrnet", "dataroot_H": ["x"]}, 2)
     with pytest.raises(ValueError):
         NativeEpochLoader({"dataset_type": "dncnn", "dataroot_H": ["x"],
                            "sigma": [0, 75]}, 2)
+
+
+def test_native_epoch_loader_ffdnet_fdncnn(img_files):
+    """sigma-range protocols: FFDNet gets scalar C (b,1,1,1); FDnCNN gets
+    the level-map channel concatenated into L (datasets.py:96,133)."""
+    from kair_tpu.data.native_loader import NativeEpochLoader
+
+    base = {"dataroot_H": [str(p) for p in img_files], "n_channels": 1,
+            "H_size": 32, "sigma": [10, 50], "dataloader_num_workers": 2}
+    ff = NativeEpochLoader(dict(base, dataset_type="ffdnet"), 4, seed=1)
+    b = next(iter(ff.epoch(0)))
+    assert b["L"].shape == (4, 32, 32, 1) and b["C"].shape == (4, 1, 1, 1)
+    assert (b["C"] >= 10 / 255 - 1e-6).all() and (b["C"] <= 50 / 255 + 1e-6).all()
+    assert np.std(b["C"]) > 0                       # per-item levels differ
+    # noise magnitude tracks the drawn level per item
+    for i in range(4):
+        n = b["L"][i] - b["H"][i]
+        assert abs(n.std() - b["C"][i, 0, 0, 0]) < 0.35 * b["C"][i, 0, 0, 0]
+
+    fd = NativeEpochLoader(dict(base, dataset_type="fdncnn"), 4, seed=1)
+    b2 = next(iter(fd.epoch(0)))
+    assert b2["L"].shape == (4, 32, 32, 2)          # noisy + level map
+    assert b2["H"].shape == (4, 32, 32, 1)
+    for i in range(4):
+        m = b2["L"][i, :, :, 1]
+        assert m.min() == m.max()                   # constant map per item
+    # same seed scheme -> same underlying draw as the ffdnet loader
+    np.testing.assert_allclose(b2["L"][..., :1], b["L"], atol=0)
