@@ -10,7 +10,12 @@ sample is a 2-hot row mix times a 2-hot column mix,
     out[r, c] = sum_{y,x} Ry[r, y] * feat[y, x, c] * Cx[r, x]
 
 with Ry/Cx the (1-w, w) interpolation weights scattered at (floor, floor+1)
-— built in VMEM from iota compares, never materialized in HBM.  The whole
+— built in VMEM as the hat function max(1-|iota-coord|, 0), never
+materialized in HBM.  (The hat IS the 2-hot scatter for every real
+coordinate, borders and zero-ring included; the earlier iota==floor
+compare form died in Mosaic — an i1 mask from a broadcast compare cannot
+be relayouted against a lane-replicated select operand, r4 on-chip
+finding.)  The whole
 sample is then two MXU matmuls and one elementwise multiply:
 
     A   = Ry @ slab            # slab (H, Cs*W), c-major lanes  [MXU]
@@ -44,6 +49,16 @@ from jax.experimental import pallas as pl
 from kair_tpu.ops.warp import _sample_bilinear_patch
 
 
+def hat_weights(iota_f: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarray:
+    """2-hot bilinear weights as the hat function max(1-|i-c|, 0).
+
+    Identical values to scattering (1-frac, frac) at (floor, floor+1)
+    for every real c — including borders and the out-of-range zero ring
+    — but pure f32 arithmetic: no i1 masks (Mosaic cannot relayout a
+    broadcast-compare mask against a lane-replicated select operand)."""
+    return jnp.maximum(1.0 - jnp.abs(iota_f - coord), 0.0)
+
+
 def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
             csp: int, variant: str = "fold"):
     # all intermediates stay 2-D (Mosaic-friendly): per-row scalars are
@@ -54,27 +69,18 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
     rt = cds.shape[0]
     dt = slab_ref.dtype
 
-    y0 = jnp.floor(fy)
-    x0 = jnp.floor(fx)
-    wy = (fy - y0).astype(dt)                # (Rt, 1)
-    wx = (fx - x0).astype(dt)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    ih = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1)
-    ry = (jnp.where(ih == y0i, 1.0 - wy, 0.0)
-          + jnp.where(ih == y0i + 1, wy, 0.0)).astype(dt)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
-    cx = (jnp.where(iw == x0i, 1.0 - wx, 0.0)
-          + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
+    # int iota + cast: tpu.iota is integer-only
+    ihf = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1).astype(jnp.float32)
+    ry = hat_weights(ihf, fy).astype(dt)
+    iwf = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1).astype(jnp.float32)
+    cx = hat_weights(iwf, fx).astype(dt)
 
     a = jnp.dot(ry, slab_ref[0], preferred_element_type=jnp.float32)
     if variant == "iota":
         # tile-free fallback: expanded column weights straight from the
         # lane index (lanes are c-major, x = lane % W)
         xl = jax.lax.broadcasted_iota(jnp.int32, (rt, csp * w), 1) % w
-        cxe = (jnp.where(xl == x0i, 1.0 - wx, 0.0)
-               + jnp.where(xl == x0i + 1, wx, 0.0)).astype(dt)
+        cxe = hat_weights(xl.astype(jnp.float32), fx).astype(dt)
     else:
         cxe = jnp.tile(cx, (1, csp))
     m = a.astype(dt) * cxe
@@ -205,23 +211,22 @@ def _bwd_kernel(coords_ref, slab_ref, p_ref, px_ref, g_ref,
     dt = slab_ref.dtype
     f32 = jnp.float32
 
-    y0 = jnp.floor(fy)
-    x0 = jnp.floor(fx)
-    wy = (fy - y0).astype(dt)
-    wx = (fx - x0).astype(dt)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    ih = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1)
-    ry = (jnp.where(ih == y0i, 1.0 - wy, 0.0)
-          + jnp.where(ih == y0i + 1, wy, 0.0)).astype(dt)
-    sy = (jnp.where(ih == y0i + 1, 1.0, 0.0)
-          - jnp.where(ih == y0i, 1.0, 0.0)).astype(dt)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
-    cx = (jnp.where(iw == x0i, 1.0 - wx, 0.0)
-          + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
-    sx = (jnp.where(iw == x0i + 1, 1.0, 0.0)
-          - jnp.where(iw == x0i, 1.0, 0.0)).astype(dt)
+    # hat weights + their fy/fx derivative: d hat/d c = sign(i - c) on the
+    # open support |i-c| < 1 (ceil(hat) is the 0/1 support indicator), 0
+    # outside. At integer coords sign(0)=0 picks the symmetric subgradient
+    # where the compare form picked (-1 at floor, +1 at floor+1) — both
+    # valid; the floor kink is measure-zero (test_pallas_bilin grads stay
+    # off it, like the gather oracle's floor() does).
+    ihf = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1).astype(f32)
+    dyv = ihf - fy
+    ryf = jnp.maximum(1.0 - jnp.abs(dyv), 0.0)
+    sy = (jnp.sign(dyv) * jnp.ceil(ryf)).astype(dt)
+    ry = ryf.astype(dt)
+    iwf = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1).astype(f32)
+    dxv = iwf - fx
+    cxf = jnp.maximum(1.0 - jnp.abs(dxv), 0.0)
+    sx = (jnp.sign(dxv) * jnp.ceil(cxf)).astype(dt)
+    cx = cxf.astype(dt)
     cxe = jnp.tile(cx, (1, csp))
 
     gout = g_ref[0].astype(dt)                                  # (Rt, csp)

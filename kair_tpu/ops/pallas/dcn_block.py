@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from kair_tpu.ops.pallas.bilin_mm import (MXU_MAX_HW, _fold_matrix, _pad_cs,
-                                          max_lanes_for_rt)
+                                          hat_weights, max_lanes_for_rt)
 
 
 def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
@@ -36,8 +36,8 @@ def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
     dt = slab_ref.dtype
     f32 = jnp.float32
 
-    ih = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
+    ihf = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1).astype(f32)
+    iwf = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1).astype(f32)
     cds = coords_ref[0, 0]                    # (rt, K*2)
     msk = mask_ref[0, 0]                      # (rt, K)
     slab = slab_ref[0, 0]                     # (h, csp*w)
@@ -46,16 +46,10 @@ def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
     for t_ in range(K):
         fy = cds[:, 2 * t_: 2 * t_ + 1]
         fx = cds[:, 2 * t_ + 1: 2 * t_ + 2]
-        y0 = jnp.floor(fy)
-        x0 = jnp.floor(fx)
-        wy = (fy - y0).astype(dt)
-        wx = (fx - x0).astype(dt)
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        ry = (jnp.where(ih == y0i, 1.0 - wy, 0.0)
-              + jnp.where(ih == y0i + 1, wy, 0.0)).astype(dt)
-        cx = (jnp.where(iw == x0i, 1.0 - wx, 0.0)
-              + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
+        # hat-function 2-hot weights (see bilin_mm.hat_weights: the
+        # compare-mask form is un-lowerable in Mosaic)
+        ry = hat_weights(ihf, fy).astype(dt)
+        cx = hat_weights(iwf, fx).astype(dt)
         a = jnp.dot(ry, slab, preferred_element_type=f32)
         mm = a.astype(dt) * jnp.tile(cx, (1, csp))
         samp = jnp.dot(mm, p_ref[:], preferred_element_type=f32)  # (rt,csp)

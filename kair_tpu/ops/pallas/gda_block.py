@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from kair_tpu.ops.pallas.bilin_mm import (MXU_MAX_HW, _fold_matrix, _pad_cs,
-                                          max_lanes_for_rt)
+                                          hat_weights, max_lanes_for_rt)
 
 
 def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
@@ -47,8 +47,8 @@ def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
     f32 = jnp.float32
 
     q = q_ref[0].astype(f32)                      # (rt, cg), pre-scaled
-    ih = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
+    ihf = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1).astype(f32)
+    iwf = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1).astype(f32)
 
     m_run = jnp.full((rt, 1), -jnp.inf, f32)
     l_run = jnp.zeros((rt, 1), f32)
@@ -61,16 +61,10 @@ def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
             s = n * K + t_
             fy = cds[:, 2 * s: 2 * s + 1]
             fx = cds[:, 2 * s + 1: 2 * s + 2]
-            y0 = jnp.floor(fy)
-            x0 = jnp.floor(fx)
-            wy = (fy - y0).astype(dt)
-            wx = (fx - x0).astype(dt)
-            y0i = y0.astype(jnp.int32)
-            x0i = x0.astype(jnp.int32)
-            ry = (jnp.where(ih == y0i, 1.0 - wy, 0.0)
-                  + jnp.where(ih == y0i + 1, wy, 0.0)).astype(dt)
-            cx = (jnp.where(iw == x0i, 1.0 - wx, 0.0)
-                  + jnp.where(iw == x0i + 1, wx, 0.0)).astype(dt)
+            # hat-function 2-hot weights (see bilin_mm.hat_weights: the
+            # compare-mask form is un-lowerable in Mosaic)
+            ry = hat_weights(ihf, fy).astype(dt)
+            cx = hat_weights(iwf, fx).astype(dt)
             a = jnp.dot(ry, slab_n, preferred_element_type=f32)
             m = a.astype(dt) * jnp.tile(cx, (1, csp))
             samp = jnp.dot(m, p_ref[:], preferred_element_type=f32)
