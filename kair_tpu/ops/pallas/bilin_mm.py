@@ -49,6 +49,17 @@ from jax.experimental import pallas as pl
 from kair_tpu.ops.warp import _sample_bilinear_patch
 
 
+def mxu_precision(dt):
+    """Dot precision for a kernel whose operands are dtype `dt`.
+
+    r5 on-chip finding: Mosaic lowers f32 matmuls at DEFAULT precision to
+    one-pass bf16 on the MXU — ~1e-2 absolute error vs the f32 gather
+    oracle (probe_mosaic r5, pre-fix log). f32 operands therefore request
+    HIGHEST (multi-pass, near-f32); bf16 operands keep DEFAULT (native
+    one-pass bf16 — the production path's numerics)."""
+    return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
+
 def hat_weights(iota_f: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarray:
     """2-hot bilinear weights as the hat function max(1-|i-c|, 0).
 
@@ -75,7 +86,9 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
     iwf = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1).astype(jnp.float32)
     cx = hat_weights(iwf, fx).astype(dt)
 
-    a = jnp.dot(ry, slab_ref[0], preferred_element_type=jnp.float32)
+    prec = mxu_precision(dt)
+    a = jnp.dot(ry, slab_ref[0], preferred_element_type=jnp.float32,
+                precision=prec)
     if variant == "iota":
         # tile-free fallback: expanded column weights straight from the
         # lane index (lanes are c-major, x = lane % W)
@@ -88,7 +101,8 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
         # lanes are c-major (c*W + x): split and sum the W lanes per c
         out = jnp.sum(m.reshape(rt, csp, w), axis=2)
     else:
-        out = jnp.dot(m, p_ref[:], preferred_element_type=jnp.float32)
+        out = jnp.dot(m, p_ref[:], preferred_element_type=jnp.float32,
+                      precision=prec)
     out_ref[0] = out.astype(dt)
 
 
@@ -229,14 +243,17 @@ def _bwd_kernel(coords_ref, slab_ref, p_ref, px_ref, g_ref,
     cx = cxf.astype(dt)
     cxe = jnp.tile(cx, (1, csp))
 
+    prec = mxu_precision(dt)
     gout = g_ref[0].astype(dt)                                  # (Rt, csp)
     g_e = jax.lax.dot_general(gout, p_ref[:], (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32).astype(dt)
+                              preferred_element_type=f32,
+                              precision=prec).astype(dt)
     m2 = g_e * cxe                                              # (Rt, cspW)
 
     # dF accumulated across the R-tile grid dim (constant out block)
     dsl = jax.lax.dot_general(ry, m2, (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32)       # (H, cspW)
+                              preferred_element_type=f32,
+                              precision=prec)                   # (H, cspW)
 
     @pl.when(pl.program_id(1) == 0)
     def _zero():
@@ -246,11 +263,14 @@ def _bwd_kernel(coords_ref, slab_ref, p_ref, px_ref, g_ref,
 
     # coordinate grads
     a2 = jax.lax.dot_general(m2, slab_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)        # (Rt, H)
+                             preferred_element_type=f32,
+                             precision=prec)                    # (Rt, H)
     dfy = jnp.sum(sy.astype(f32) * a2, axis=1, keepdims=True)
-    a = jnp.dot(ry, slab_ref[0], preferred_element_type=f32).astype(dt)
+    a = jnp.dot(ry, slab_ref[0], preferred_element_type=f32,
+                precision=prec).astype(dt)
     b2 = jnp.dot((a * g_e).astype(dt), px_ref[:],
-                 preferred_element_type=f32)                    # (Rt, W)
+                 preferred_element_type=f32,
+                 precision=prec)                                # (Rt, W)
     dfx = jnp.sum(sx.astype(f32) * b2, axis=1, keepdims=True)
     dcoords_ref[0] = jnp.concatenate([dfy, dfx], axis=1)
 

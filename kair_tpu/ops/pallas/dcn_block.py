@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from kair_tpu.ops.pallas.bilin_mm import (MXU_MAX_HW, _fold_matrix, _pad_cs,
-                                          hat_weights, max_lanes_for_rt)
+                                          hat_weights, max_lanes_for_rt,
+                                          mxu_precision)
 
 
 def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
@@ -50,13 +51,16 @@ def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
         # compare-mask form is un-lowerable in Mosaic)
         ry = hat_weights(ihf, fy).astype(dt)
         cx = hat_weights(iwf, fx).astype(dt)
-        a = jnp.dot(ry, slab, preferred_element_type=f32)
+        prec = mxu_precision(dt)
+        a = jnp.dot(ry, slab, preferred_element_type=f32, precision=prec)
         mm = a.astype(dt) * jnp.tile(cx, (1, csp))
-        samp = jnp.dot(mm, p_ref[:], preferred_element_type=f32)  # (rt,csp)
+        samp = jnp.dot(mm, p_ref[:], preferred_element_type=f32,
+                       precision=prec)                            # (rt,csp)
         cols.append(samp[:, :cg] * msk[:, t_: t_ + 1].astype(f32))
     cols2 = jnp.concatenate(cols, axis=1).astype(dt)              # (rt,K*cg)
 
-    part = jnp.dot(cols2, w_ref[0], preferred_element_type=f32)   # (rt,cout)
+    part = jnp.dot(cols2, w_ref[0], preferred_element_type=f32,
+                   precision=mxu_precision(dt))                   # (rt,cout)
 
     @pl.when(pl.program_id(2) == 0)
     def _zero():

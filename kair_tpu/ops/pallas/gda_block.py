@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from kair_tpu.ops.pallas.bilin_mm import (MXU_MAX_HW, _fold_matrix, _pad_cs,
-                                          hat_weights, max_lanes_for_rt)
+                                          hat_weights, max_lanes_for_rt,
+                                          mxu_precision)
 
 
 def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
@@ -65,9 +66,12 @@ def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
             # compare-mask form is un-lowerable in Mosaic)
             ry = hat_weights(ihf, fy).astype(dt)
             cx = hat_weights(iwf, fx).astype(dt)
-            a = jnp.dot(ry, slab_n, preferred_element_type=f32)
+            prec = mxu_precision(dt)
+            a = jnp.dot(ry, slab_n, preferred_element_type=f32,
+                        precision=prec)
             m = a.astype(dt) * jnp.tile(cx, (1, csp))
-            samp = jnp.dot(m, p_ref[:], preferred_element_type=f32)
+            samp = jnp.dot(m, p_ref[:], preferred_element_type=f32,
+                           precision=prec)
             k_s = samp[:, :cg]                    # (rt, cg) f32
             v_s = samp[:, cg: 2 * cg]
             score = jnp.sum(q * k_s, axis=1, keepdims=True)   # (rt, 1)

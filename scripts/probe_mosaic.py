@@ -19,6 +19,10 @@ import jax.numpy as jnp
 
 
 def main():
+    # the gather-path oracles end in XLA matmuls which default to one-pass
+    # bf16 on the MXU — force f32 so the oracle itself isn't the error
+    # (the Pallas kernels set precision explicitly, bilin_mm.mxu_precision)
+    jax.config.update("jax_default_matmul_precision", "highest")
     print("device:", jax.devices()[0])
     rng = np.random.default_rng(0)
     ok = True

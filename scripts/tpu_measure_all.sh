@@ -1,17 +1,17 @@
 #!/bin/bash
-# Round-4 TPU measurement queue (VERDICT r3 #1): run everything the moment
-# the tunnel is up, one process at a time (cross-process numbers are not
-# decision-grade), logging to runs/tpu_r4/.
+# Round-5 TPU measurement queue (VERDICT r4 #2): run everything at round
+# START, one process at a time (cross-process numbers are not
+# decision-grade), logging to runs/tpu_r5/.
 #
 #   bash scripts/tpu_measure_all.sh [stage...]   # default: all stages
 #
-# Stages: bench deform_rvrt deform_vrt video train profile converge
+# Stages: probe bench deform_rvrt deform_vrt video train profile converge
 set -u
 cd "$(dirname "$0")/.."
-OUT=runs/tpu_r4
+OUT=${TPU_MEASURE_OUT:-runs/tpu_r5}
 mkdir -p "$OUT"
 
-STAGES=${*:-bench deform_rvrt deform_vrt video train profile converge}
+STAGES=${*:-probe bench deform_rvrt deform_vrt video train profile converge}
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
@@ -23,6 +23,10 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 for s in $STAGES; do
   case $s in
+    probe)
+      # stage 0 (VERDICT r4 weak #7): catch Mosaic lowering failures in
+      # minutes, not inside a 20-min full-model compile
+      run probe_mosaic 1200 python scripts/probe_mosaic.py ;;
     bench)
       # headline: target >= 2.2 MP/s into the driver-visible record
       run bench 3600 python bench.py ;;
@@ -31,7 +35,7 @@ for s in $STAGES; do
       run deform_rvrt 5400 python -m kair_tpu.cli.video_bench \
           --net rvrt --frames 6 --size 64 --fuse --compare ;;
     deform_vrt)
-      # gather vs mxu (vrt DCN)
+      # gather vs mxu vs fused (vrt DCN)
       run deform_vrt 5400 python -m kair_tpu.cli.video_bench \
           --net vrt --frames 6 --size 64 --fuse --compare ;;
     video)
@@ -50,7 +54,7 @@ for s in $STAGES; do
       run train_swinir 3600 python -m kair_tpu.cli.train_bench \
           --net swinir --batch 16 --patch 64 --fuse ;;
     profile)
-      # MFU attribution for the round-6 target (>=30%)
+      # MFU attribution for the >=30% target
       run bench_profile 3600 python bench.py --profile "$OUT/trace" ;;
     converge)
       # DnCNN from-scratch convergence vs released dncnn_25
