@@ -173,3 +173,32 @@ def test_route_impl_gates_large_frames():
     assert route_impl("mxu", 128, 128, 48, "t") == "gather"
     # lane blow-up: w=95 pads csp to 128 → 12160 lanes
     assert route_impl("mxu", 95, 95, 48, "t") == "gather"
+
+
+def test_integer_coord_subgradient_divergence_is_pinned():
+    """At EXACT-integer coordinates the hat weight has a kink; the Pallas
+    backward picks the symmetric subgradient sign(0)*ceil(1) = 0 where the
+    gather oracle's floor() form picks the one-sided derivative
+    feat[y0+1] - feat[y0]. Both are valid subgradients (measure-zero set);
+    this test pins the known divergence so it isn't accidentally 'fixed'
+    into silently changing training numerics (ADVICE r4)."""
+    rng = np.random.default_rng(11)
+    g, h, w, cs = 1, 8, 8, 8
+    feat = jnp.asarray(rng.standard_normal((g, h, w, cs)), jnp.float32)
+    fy = jnp.asarray([[3.0, 5.0]], jnp.float32)      # exact integers
+    fx = jnp.asarray([[2.0, 6.0]], jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((g, 2, cs)), jnp.float32)
+
+    _, dfy_k, dfx_k = jax.grad(
+        lambda f, y, x: jnp.sum(bilinear_sample_mm(f, y, x, 128, True) * ct),
+        argnums=(0, 1, 2))(feat, fy, fx)
+    _, dfy_o, dfx_o = jax.grad(
+        lambda f, y, x: jnp.sum(_sample_ref(f, y, x) * ct),
+        argnums=(0, 1, 2))(feat, fy, fx)
+
+    # kernel: symmetric subgradient == 0 at the kink
+    np.testing.assert_array_equal(np.asarray(dfy_k), 0.0)
+    np.testing.assert_array_equal(np.asarray(dfx_k), 0.0)
+    # oracle: one-sided derivative, generically nonzero — the divergence
+    assert float(jnp.abs(dfy_o).max()) > 1e-3
+    assert float(jnp.abs(dfx_o).max()) > 1e-3
