@@ -35,6 +35,11 @@ struct Image {
   std::vector<uint8_t> data;  // HWC
 };
 
+struct FImage {
+  int h = 0, w = 0, c = 0;
+  std::vector<float> data;  // HWC, [0,1]-ish (bicubic ringing preserved)
+};
+
 // ----------------------------------------------------------------- decode
 
 bool decode_png(const char* path, int want_c, Image* out) {
@@ -173,8 +178,13 @@ struct Rng {
 
 // ------------------------------------------------- augmentation (8 modes)
 
-// identical geometry table to utils_image.augment_img (utils_image.py:387)
-void augment_patch(const uint8_t* src, int ps, int c, int mode, uint8_t* dst) {
+// identical geometry table to utils_image.augment_img (utils_image.py:387);
+// element-size-generic so the float L cache (bicubic SR) augments too
+void augment_patch_g(const void* src_v, int ps, int c, int mode, void* dst_v,
+                     size_t elem) {
+  const char* src = static_cast<const char*>(src_v);
+  char* dst = static_cast<char*>(dst_v);
+  const size_t px = static_cast<size_t>(c) * elem;
   for (int y = 0; y < ps; ++y) {
     for (int x = 0; x < ps; ++x) {
       int sy = y, sx = x;
@@ -188,8 +198,129 @@ void augment_patch(const uint8_t* src, int ps, int c, int mode, uint8_t* dst) {
         case 6: sy = ps - 1 - y; sx = ps - 1 - x; break;  // rot180
         case 7: sy = ps - 1 - x; sx = ps - 1 - y; break;  // flipud(rot270) = anti-transpose
       }
-      std::memcpy(dst + (static_cast<size_t>(y) * ps + x) * c,
-                  src + (static_cast<size_t>(sy) * ps + sx) * c, c);
+      std::memcpy(dst + (static_cast<size_t>(y) * ps + x) * px,
+                  src + (static_cast<size_t>(sy) * ps + sx) * px, px);
+    }
+  }
+}
+
+void augment_patch(const uint8_t* src, int ps, int c, int mode, uint8_t* dst) {
+  augment_patch_g(src, ps, c, mode, dst, 1);
+}
+
+// ----------------------------------------- MATLAB bicubic downscale
+// Exact re-derivation of utils/image.py resize_weights/_cubic (reference
+// utils_image.py:871-1014 / MATLAB imresize): antialiased cubic kernel,
+// symmetric padding, double accumulation. Used to build the on-the-fly LR
+// cache for the dataset_sr.py:66 train branch.
+
+double cubic_kernel(double x) {
+  double ax = std::fabs(x), ax2 = ax * ax, ax3 = ax2 * ax;
+  if (ax <= 1.0) return 1.5 * ax3 - 2.5 * ax2 + 1.0;
+  if (ax <= 2.0) return -0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0;
+  return 0.0;
+}
+
+struct AxisWeights {
+  int taps = 0;                 // P after the zero-column trim
+  int sym_s = 0, sym_e = 0;     // symmetric pad lengths
+  std::vector<double> w;        // (out, taps)
+  std::vector<int> idx;         // (out, taps), into the padded axis
+};
+
+AxisWeights resize_axis_weights(int in_len, int out_len, double scale) {
+  // scale < 1, antialiasing on (the only mode the SR train branch uses)
+  double kw = 4.0 / scale;
+  int P = static_cast<int>(std::ceil(kw)) + 2;
+  std::vector<double> w(static_cast<size_t>(out_len) * P);
+  std::vector<double> ind(static_cast<size_t>(out_len) * P);
+  for (int o = 0; o < out_len; ++o) {
+    double u = (o + 1) / scale + 0.5 * (1.0 - 1.0 / scale);
+    double left = std::floor(u - kw / 2.0);
+    double sum = 0.0;
+    for (int j = 0; j < P; ++j) {
+      double pos = left + j;
+      ind[static_cast<size_t>(o) * P + j] = pos;
+      double v = scale * cubic_kernel((u - pos) * scale);
+      w[static_cast<size_t>(o) * P + j] = v;
+      sum += v;
+    }
+    for (int j = 0; j < P; ++j) w[static_cast<size_t>(o) * P + j] /= sum;
+  }
+  // zero-column trim, exactly as resize_weights (utils_image.py:919-926):
+  // a zero anywhere in the first/last column drops it (P -> P-2)
+  bool zero_first = false, zero_last = false;
+  for (int o = 0; o < out_len; ++o) {
+    if (w[static_cast<size_t>(o) * P] == 0.0) zero_first = true;
+    if (w[static_cast<size_t>(o) * P + P - 1] == 0.0) zero_last = true;
+  }
+  int off = 0, taps = P;
+  if (zero_first) { off = 1; taps = P - 2; }
+  else if (zero_last) { taps = P - 2; }
+  AxisWeights aw;
+  aw.taps = taps;
+  aw.w.resize(static_cast<size_t>(out_len) * taps);
+  std::vector<double> tidx(static_cast<size_t>(out_len) * taps);
+  double imin = 1e18, imax = -1e18;
+  for (int o = 0; o < out_len; ++o)
+    for (int j = 0; j < taps; ++j) {
+      aw.w[static_cast<size_t>(o) * taps + j] =
+          w[static_cast<size_t>(o) * P + off + j];
+      double pos = ind[static_cast<size_t>(o) * P + off + j];
+      tidx[static_cast<size_t>(o) * taps + j] = pos;
+      imin = std::min(imin, pos);
+      imax = std::max(imax, pos);
+    }
+  aw.sym_s = static_cast<int>(-imin + 1);
+  aw.sym_e = static_cast<int>(imax - in_len);
+  aw.idx.resize(tidx.size());
+  for (size_t k = 0; k < tidx.size(); ++k)
+    aw.idx[k] = static_cast<int>(tidx[k]) + aw.sym_s - 1;
+  return aw;
+}
+
+// symmetric-pad index mapping: padded index -> source row (axis length n)
+inline int sym_src(int p, int s, int n) {
+  if (p < s) return s - 1 - p;           // reversed first s rows
+  if (p < s + n) return p - s;
+  return n - 1 - (p - s - n);            // reversed last e rows
+}
+
+// out: (out_h, out_w, c) float; in: uint8 HWC (values /255 like uint2single)
+void bicubic_downscale(const uint8_t* in, int h, int w, int c, int sf,
+                       float* out) {
+  double scale = 1.0 / sf;
+  int oh = (h + sf - 1) / sf, ow = (w + sf - 1) / sf;  // ceil(h*scale)
+  AxisWeights ah = resize_axis_weights(h, oh, scale);
+  AxisWeights aww = resize_axis_weights(w, ow, scale);
+  // pass 1: H axis -> (oh, w, c) double
+  std::vector<double> t1(static_cast<size_t>(oh) * w * c);
+  for (int o = 0; o < oh; ++o) {
+    const double* wr = ah.w.data() + static_cast<size_t>(o) * ah.taps;
+    const int* ir = ah.idx.data() + static_cast<size_t>(o) * ah.taps;
+    double* dst = t1.data() + static_cast<size_t>(o) * w * c;
+    std::memset(dst, 0, sizeof(double) * w * c);
+    for (int j = 0; j < ah.taps; ++j) {
+      int sy = sym_src(ir[j], ah.sym_s, h);
+      const uint8_t* src = in + static_cast<size_t>(sy) * w * c;
+      double wj = wr[j] * (1.0 / 255.0);
+      for (int k = 0; k < w * c; ++k) dst[k] += wj * src[k];
+    }
+  }
+  // pass 2: W axis -> (oh, ow, c) float
+  for (int o = 0; o < ow; ++o) {
+    const double* wr = aww.w.data() + static_cast<size_t>(o) * aww.taps;
+    const int* ir = aww.idx.data() + static_cast<size_t>(o) * aww.taps;
+    for (int y = 0; y < oh; ++y) {
+      const double* row = t1.data() + static_cast<size_t>(y) * w * c;
+      for (int ch = 0; ch < c; ++ch) {
+        double acc = 0.0;
+        for (int j = 0; j < aww.taps; ++j)
+          acc += wr[j] * row[static_cast<size_t>(sym_src(ir[j], aww.sym_s, w))
+                             * c + ch];
+        out[(static_cast<size_t>(y) * ow + o) * c + ch] =
+            static_cast<float>(acc);
+      }
     }
   }
 }
@@ -355,6 +486,8 @@ void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 struct PairLoader {
   std::vector<Image> l, h;
+  std::vector<FImage> lf;   // float LR cache (on-the-fly bicubic mode)
+  bool l_is_float = false;
   int n_channels = 3;
   int n_threads = 4;
 };
@@ -379,8 +512,60 @@ void* pair_loader_create(const char** paths_l, const char** paths_h, int n,
   return P;
 }
 
+// On-the-fly bicubic SR cache (the dataset_sr.py:66 train branch when no
+// dataroot_L exists): decode H, modcrop to a multiple of sf, MATLAB-bicubic
+// downscale ONCE at build time into a float LR cache — per-batch work is
+// then only crop + augment, same as the pre-generated-LR mode.
+void* pair_loader_create_bicubic(const char** paths_h, int n, int n_channels,
+                                 int sf, int n_threads) {
+  auto* P = new PairLoader;
+  P->n_channels = n_channels;
+  P->n_threads = n_threads;
+  P->l_is_float = true;
+  P->h.resize(n);
+  P->lf.resize(n);
+  std::atomic<bool> ok(true);
+  parallel_for(n_threads, n, [&](int i, int) {
+    Image img;
+    if (!decode_image(paths_h[i], n_channels, &img)) {
+      ok = false;
+      return;
+    }
+    // modcrop (utils_image.modcrop): crop to floor(dim/sf)*sf
+    int ch = (img.h / sf) * sf, cw = (img.w / sf) * sf;
+    if (ch == 0 || cw == 0) {
+      ok = false;
+      return;
+    }
+    Image& H = P->h[i];
+    H.h = ch; H.w = cw; H.c = img.c;
+    H.data.resize(static_cast<size_t>(ch) * cw * img.c);
+    for (int y = 0; y < ch; ++y)
+      std::memcpy(H.data.data() + static_cast<size_t>(y) * cw * img.c,
+                  img.data.data() + static_cast<size_t>(y) * img.w * img.c,
+                  static_cast<size_t>(cw) * img.c);
+    FImage& Lf = P->lf[i];
+    Lf.h = ch / sf; Lf.w = cw / sf; Lf.c = img.c;
+    Lf.data.resize(static_cast<size_t>(Lf.h) * Lf.w * Lf.c);
+    bicubic_downscale(H.data.data(), ch, cw, img.c, sf, Lf.data.data());
+  });
+  if (!ok) {
+    delete P;
+    return nullptr;
+  }
+  return P;
+}
+
 int pair_loader_num(void* handle) {
-  return static_cast<int>(static_cast<PairLoader*>(handle)->l.size());
+  auto* P = static_cast<PairLoader*>(handle);
+  return static_cast<int>(P->l_is_float ? P->lf.size() : P->l.size());
+}
+
+// Direct bicubic-downscale entry for parity tests vs utils.image.imresize_np
+// (in: uint8 HWC; out: float32 (ceil(h/sf), ceil(w/sf), c)).
+void bicubic_downscale_u8(const uint8_t* in, int h, int w, int c, int sf,
+                          float* out) {
+  bicubic_downscale(in, h, w, c, sf, out);
 }
 
 // out_L: float32 [batch, l_ps, l_ps, C];  out_H: [batch, l_ps*sf, .., C]
@@ -392,23 +577,26 @@ int pair_loader_sample_sr_batch(void* handle, int batch, int l_ps, int sf,
   std::atomic<bool> ok(true);
   parallel_for(P->n_threads, batch, [&](int i, int) {
     Rng rng(seed + 0x5851F42D4C957F2DULL * (i + 1));
-    uint32_t idx = rng.below(P->l.size());
-    const Image& il = P->l[idx];
+    uint32_t n_img = static_cast<uint32_t>(P->l_is_float ? P->lf.size()
+                                                         : P->l.size());
+    uint32_t idx = rng.below(n_img);
     const Image& ih = P->h[idx];
-    if (il.h < l_ps || il.w < l_ps) {
+    int lh = P->l_is_float ? P->lf[idx].h : P->l[idx].h;
+    int lw = P->l_is_float ? P->lf[idx].w : P->l[idx].w;
+    if (lh < l_ps || lw < l_ps) {
       ok = false;
       return;
     }
-    int ry = rng.below(il.h - l_ps + 1);
-    int rx = rng.below(il.w - l_ps + 1);
+    int ry = rng.below(lh - l_ps + 1);
+    int rx = rng.below(lw - l_ps + 1);
     if (ih.h < (ry + l_ps) * sf || ih.w < (rx + l_ps) * sf) {
       ok = false;  // H smaller than sf x L (pairs must be size-consistent)
       return;
     }
     int mode = rng.below(8);
 
-    auto crop_aug = [&](const Image& img, int y0, int x0, int ps,
-                        float* dst) {
+    auto crop_aug_u8 = [&](const Image& img, int y0, int x0, int ps,
+                           float* dst) {
       std::vector<uint8_t> crop(static_cast<size_t>(ps) * ps * c);
       for (int y = 0; y < ps; ++y)
         std::memcpy(crop.data() + static_cast<size_t>(y) * ps * c,
@@ -420,10 +608,24 @@ int pair_loader_sample_sr_batch(void* handle, int batch, int l_ps, int sf,
       const float inv255 = 1.0f / 255.0f;
       for (size_t k = 0; k < aug.size(); ++k) dst[k] = aug[k] * inv255;
     };
-    crop_aug(il, ry, rx, l_ps,
-             out_L + static_cast<size_t>(i) * l_ps * l_ps * c);
-    crop_aug(ih, ry * sf, rx * sf, h_ps,
-             out_H + static_cast<size_t>(i) * h_ps * h_ps * c);
+    auto crop_aug_f32 = [&](const FImage& img, int y0, int x0, int ps,
+                            float* dst) {
+      std::vector<float> crop(static_cast<size_t>(ps) * ps * c);
+      for (int y = 0; y < ps; ++y)
+        std::memcpy(crop.data() + static_cast<size_t>(y) * ps * c,
+                    img.data.data() +
+                        ((static_cast<size_t>(y0) + y) * img.w + x0) * c,
+                    static_cast<size_t>(ps) * c * sizeof(float));
+      augment_patch_g(crop.data(), ps, c, mode, dst, sizeof(float));
+    };
+    if (P->l_is_float)
+      crop_aug_f32(P->lf[idx], ry, rx, l_ps,
+                   out_L + static_cast<size_t>(i) * l_ps * l_ps * c);
+    else
+      crop_aug_u8(P->l[idx], ry, rx, l_ps,
+                  out_L + static_cast<size_t>(i) * l_ps * l_ps * c);
+    crop_aug_u8(ih, ry * sf, rx * sf, h_ps,
+                out_H + static_cast<size_t>(i) * h_ps * h_ps * c);
   });
   return ok ? 0 : -1;
 }

@@ -65,6 +65,13 @@ def _load_lib():
     lib.pair_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.pair_loader_create_bicubic.restype = ctypes.c_void_p
+    lib.pair_loader_create_bicubic.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.bicubic_downscale_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     lib.pair_loader_num.restype = ctypes.c_int
     lib.pair_loader_num.argtypes = [ctypes.c_void_p]
     lib.pair_loader_sample_sr_batch.restype = ctypes.c_int
@@ -158,21 +165,43 @@ class NativePatchLoader:
             self._handle = None
 
 
-class NativePairLoader:
-    """RAM-cached native loader for paired-SR training batches
-    (pre-generated LR files; the dataset_sr.py train protocol)."""
+def native_bicubic_downscale(img: np.ndarray, sf: int) -> np.ndarray:
+    """MATLAB-bicubic downscale of an HWC uint8 image by 1/sf via the C++
+    kernel — exposed for parity tests against utils.image.imresize_np."""
+    lib = _load_lib()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((-(-h // sf), -(-w // sf), c), np.float32)
+    lib.bicubic_downscale_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c, sf,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
-    def __init__(self, paths_l: Sequence[str], paths_h: Sequence[str],
-                 n_channels: int = 3, n_threads: int = 8):
-        assert len(paths_l) == len(paths_h)
+
+class NativePairLoader:
+    """RAM-cached native loader for paired-SR training batches — either
+    pre-generated LR files, or the on-the-fly MATLAB-bicubic branch
+    (dataset_sr.py:66: modcrop H, downscale once at cache build, then
+    crop + shared-mode augment per batch)."""
+
+    def __init__(self, paths_l: Optional[Sequence[str]],
+                 paths_h: Sequence[str], n_channels: int = 3,
+                 n_threads: int = 8, bicubic_sf: Optional[int] = None):
         lib = _load_lib()
-        arr_l = (ctypes.c_char_p * len(paths_l))(*[p.encode() for p in paths_l])
         arr_h = (ctypes.c_char_p * len(paths_h))(*[p.encode() for p in paths_h])
-        self._handle = lib.pair_loader_create(arr_l, arr_h, len(paths_l),
-                                              n_channels, n_threads)
+        if bicubic_sf is not None:
+            assert paths_l is None
+            self._handle = lib.pair_loader_create_bicubic(
+                arr_h, len(paths_h), n_channels, int(bicubic_sf), n_threads)
+        else:
+            assert paths_l is not None and len(paths_l) == len(paths_h)
+            arr_l = (ctypes.c_char_p * len(paths_l))(
+                *[p.encode() for p in paths_l])
+            self._handle = lib.pair_loader_create(arr_l, arr_h, len(paths_l),
+                                                  n_channels, n_threads)
         if not self._handle:
             raise RuntimeError(f"native pair loader failed to decode "
-                               f"{len(paths_l)} pairs")
+                               f"{len(paths_h)} pairs")
         self._lib = lib
         self.n_channels = n_channels
         self.n_pairs = lib.pair_loader_num(self._handle)
@@ -211,8 +240,11 @@ class NativeEpochLoader:
     * ``dncnn`` with fixed scalar sigma (dataset_dncnn.py:44-75)
     * ``fdncnn``/``ffdnet`` with sigma ~ U[min,max] and the noise-level
       conditioning (H x W map channel / scalar C) built batch-side
-    * ``sr``/``plain`` with pre-generated LR files (dataset_sr.py train
-      branch; the on-the-fly bicubic downscale stays python-side)
+    * ``sr``/``plain`` with pre-generated LR files, OR — when no
+      dataroot_L exists — the on-the-fly MATLAB-bicubic branch
+      (dataset_sr.py:66): modcrop + antialiased downscale in C++ at
+      cache build, crop/augment per batch (parity:
+      tests/test_native_loader.py vs utils.image.imresize_np)
     """
 
     def __init__(self, ds_opt: dict, batch_size: int, seed: int = 0):
@@ -265,11 +297,7 @@ class NativeEpochLoader:
 
             self._sample = sample
         elif kind in ("sr", "plain"):
-            if not ds_opt.get("dataroot_L"):
-                raise ValueError("native sr loader needs pre-generated LR "
-                                 "files (dataroot_L)")
             paths_h = listing(ds_opt["dataroot_H"])
-            paths_l = listing(ds_opt["dataroot_L"])
             self.sf = (ds_opt.get("scale") or 4) if kind == "sr" else 1
             self.patch_size = ds_opt.get("H_size") or (96 if kind == "sr"
                                                        else 64)
@@ -277,9 +305,19 @@ class NativeEpochLoader:
                 raise ValueError(f"H_size {self.patch_size} not divisible "
                                  f"by scale {self.sf}")
             l_patch = self.patch_size // self.sf
-            self._native = NativePairLoader(
-                paths_l, paths_h, n_channels=ds_opt.get("n_channels") or 3,
-                n_threads=threads)
+            if ds_opt.get("dataroot_L"):
+                paths_l = listing(ds_opt["dataroot_L"])
+                self._native = NativePairLoader(
+                    paths_l, paths_h,
+                    n_channels=ds_opt.get("n_channels") or 3,
+                    n_threads=threads)
+            elif kind == "sr":
+                # on-the-fly MATLAB bicubic, downscaled once at cache build
+                self._native = NativePairLoader(
+                    None, paths_h, n_channels=ds_opt.get("n_channels") or 3,
+                    n_threads=threads, bicubic_sf=self.sf)
+            else:
+                raise ValueError("native plain loader needs dataroot_L")
             self.n_images = self._native.n_pairs
             self._sample = lambda s: self._native.sample_sr_batch(
                 self.batch_size, l_patch, self.sf, seed=s)

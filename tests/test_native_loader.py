@@ -242,13 +242,71 @@ def test_native_epoch_loader_rejects_unsupported():
     from kair_tpu.data.native_loader import NativeEpochLoader
 
     with pytest.raises(ValueError):
-        NativeEpochLoader({"dataset_type": "sr", "dataroot_H": ["x"],
+        # plain (scale 1) has no on-the-fly branch: L files are required
+        NativeEpochLoader({"dataset_type": "plain", "dataroot_H": ["x"],
                            "dataroot_L": None}, 2)
     with pytest.raises(ValueError):
         NativeEpochLoader({"dataset_type": "usrnet", "dataroot_H": ["x"]}, 2)
     with pytest.raises(ValueError):
         NativeEpochLoader({"dataset_type": "dncnn", "dataroot_H": ["x"],
                            "sigma": [0, 75]}, 2)
+
+
+def test_native_bicubic_matches_imresize_np():
+    """The C++ MATLAB-bicubic downscale must match utils.image.imresize_np
+    (reference utils_image.py:871-1014) — the on-the-fly SR train
+    degradation (dataset_sr.py:66)."""
+    from kair_tpu.data.native_loader import native_bicubic_downscale
+    from kair_tpu.utils import image as im
+
+    rng = np.random.RandomState(7)
+    for sf, (h, w) in [(2, (40, 56)), (3, (39, 45)), (4, (37, 52))]:
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        got = native_bicubic_downscale(img, sf)
+        want = im.imresize_np(im.uint2single(img), 1 / sf, True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_native_sr_onthefly_protocol(tmp_path):
+    """On-the-fly branch end-to-end: with an image exactly one L patch big,
+    the sampled L must be an 8-mode augment of imresize_np(H) and H the
+    SAME-mode augment of the source (DatasetSR.get_example:151-167)."""
+    import cv2
+    from kair_tpu.data.native_loader import NativeEpochLoader
+    from kair_tpu.utils import image as im
+
+    sf, lp = 4, 12
+    rng = np.random.RandomState(3)
+    src = (rng.rand(lp * sf + 2, lp * sf + 3, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "h.png")
+    cv2.imwrite(p, src[:, :, ::-1])          # cv2 writes BGR
+
+    ds_opt = {"dataset_type": "sr", "dataroot_H": [p], "dataroot_L": None,
+              "scale": sf, "H_size": lp * sf, "n_channels": 3,
+              "dataloader_num_workers": 2}
+    ld = NativeEpochLoader(ds_opt, batch_size=4, seed=0)
+    batch = next(iter(ld.epoch(0)))
+    assert batch["L"].shape == (4, lp, lp, 3)
+    assert batch["H"].shape == (4, lp * sf, lp * sf, 3)
+
+    h_mod = im.modcrop(src, sf)              # (lp*sf, lp*sf, 3)
+    l_full = im.imresize_np(im.uint2single(h_mod), 1 / sf, True)
+    h_full = im.uint2single(h_mod)
+    for i in range(4):
+        matched = False
+        for mode in range(8):
+            if np.allclose(batch["L"][i],
+                           im.augment_img(l_full, mode).astype(np.float32),
+                           atol=1e-5):
+                np.testing.assert_allclose(
+                    batch["H"][i],
+                    im.augment_img(h_full, mode).astype(np.float32),
+                    atol=1e-5)
+                matched = True
+                break
+        assert matched, f"item {i}: L is not any augment of imresize_np(H)"
 
 
 def test_native_epoch_loader_ffdnet_fdncnn(img_files):
