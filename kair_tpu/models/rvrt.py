@@ -93,7 +93,7 @@ class GuidedDeformAttnPack(nn.Module):
     deformable_groups: int = 12
     clip_size: int = 2
     max_residue_magnitude: float = 10.0
-    deform_impl: str = "gather"
+    deform_impl: str = "auto"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -137,7 +137,9 @@ class GuidedDeformAttnPack(nn.Module):
 
         # per query frame j, KV clip frame order is (n + j) % clip
         # (deform_attn_cuda_pt110.cpp:101-105).
-        if self.deform_impl == "gather":
+        from kair_tpu.ops.warp import resolve_deform_impl
+        impl = resolve_deform_impl(self.deform_impl)
+        if impl == "gather":
             # keep per-frame calls: many small gather index sets beat one
             # big one on the TPU gather path (measured 2x on the analogous
             # VRT alignment batch — test_video_parity.py:139 note)
@@ -204,7 +206,7 @@ class RVRT(nn.Module):
     nonblind_denoising: bool = False
     remat: bool = False
     fuse_block: bool = False
-    deform_impl: str = "gather"
+    deform_impl: str = "auto"
     dtype: Optional[Any] = None
 
     # ---- shared submodule builders (identical names/args for the full

@@ -650,7 +650,7 @@ class DCNv2PackFlowGuided(nn.Module):
     deformable_groups: int = 16
     max_residue_magnitude: float = 10.0
     pa_frames: int = 2
-    deform_impl: str = "gather"
+    deform_impl: str = "auto"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -707,7 +707,7 @@ class Stage(nn.Module):
     reshape: str = "none"
     max_residue_magnitude: float = 10.0
     fuse_block: bool = False
-    deform_impl: str = "gather"
+    deform_impl: str = "auto"
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -896,7 +896,7 @@ class VRT(nn.Module):
     # (reference :1270 indep_reconsts=[11,12]; [] for frame interpolation)
     indep_reconsts: Optional[Tuple[int, ...]] = None
     fuse_block: bool = False
-    deform_impl: str = "gather"
+    deform_impl: str = "auto"
     remat: bool = False
     dtype: Optional[Any] = None
 

@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from kair_tpu.ops.warp import _sample_bilinear
+from kair_tpu.ops.warp import _sample_bilinear, resolve_deform_impl
 
 
 def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
@@ -36,12 +36,15 @@ def deform_attention(q: jnp.ndarray, k_feat: jnp.ndarray, v_feat: jnp.ndarray,
     offset (B, clip, H, W, dg*K*2) with (dg, K, (y,x)) channel layout.
     Returns (B,H,W,C).
 
-    impl: 'gather' — XLA patch gathers (cost ∝ index rows, any frame size);
+    impl: 'auto'   — fused on TPU, gather elsewhere (resolve_deform_impl;
+                     from the round-5 on-chip A/B, runs/tpu_r5/deform_*.log);
+          'gather' — XLA patch gathers (cost ∝ index rows, any frame size);
           'mxu'    — Pallas 2-hot-matmul sampling (ops/pallas/bilin_mm.py,
                      cost ∝ H·W, wins at small frames where GDA runs);
           'fused'  — single Pallas pass sampling + online-softmax attention
                      (ops/pallas/gda_block.py; needs heads == groups, the
                      released-RVRT shape). Falls back loudly otherwise."""
+    impl = resolve_deform_impl(impl)
     b, h, w, c = q.shape
     clip = k_feat.shape[1]
     kh, kw = kernel

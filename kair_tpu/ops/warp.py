@@ -22,6 +22,20 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_deform_impl(impl: str) -> str:
+    """Resolve deform impl 'auto' from the backend: the fused Pallas
+    kernels (gda_block / dcn_block) only compile for real TPU targets,
+    and the round-5 on-chip A/B (runs/tpu_r5/deform_{vrt,rvrt}.log)
+    measured 'fused' fastest at both released shapes — VRT 59.7 ms/clip
+    vs 127.4 gather, RVRT 141.3 vs 149.7 — so 'auto' picks 'fused' on
+    TPU and the XLA gather path everywhere else (CPU tests, GPU)."""
+    if impl != "auto":
+        return impl
+    platform = jax.devices()[0].platform
+    return "fused" if platform not in ("cpu", "gpu", "cuda", "rocm") \
+        else "gather"
+
+
 def _gather_2d(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """x (N,H,W,C); iy/ix (N,Ho,Wo) int32 (assumed in-bounds) →
     (N,Ho,Wo,C)."""
@@ -173,9 +187,13 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
            interleaved (y,x) pairs: channel 2k = Δy_k, 2k+1 = Δx_k
     mask   (N, Ho, Wo, dg*K)    — already sigmoided
     weight (kh, kw, Cin, Cout)  HWIO
-    impl   'gather' (XLA patch gathers) | 'mxu' (Pallas 2-hot-matmul
-           sampling, ops/pallas/bilin_mm.py — wins at small frames)
+    impl   'auto' (fused on TPU, gather elsewhere — resolve_deform_impl)
+           | 'gather' (XLA patch gathers) | 'mxu' (Pallas 2-hot-matmul
+           sampling, ops/pallas/bilin_mm.py) | 'fused' (single Pallas
+           sample+conv pass, ops/pallas/dcn_block.py — fastest measured,
+           runs/tpu_r5/deform_vrt.log)
     """
+    impl = resolve_deform_impl(impl)
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     K = kh * kw
