@@ -78,6 +78,25 @@ def main():
     sources += ["/root/reference/models/einstein.png",
                 "/root/reference/utils/test.png",
                 "/root/reference/utils/test.bmp"]
+    # every other real photograph shipped in site-packages (round-5 corpus
+    # widening: the v1 run's 0.85 dB gap is partly data diversity — these
+    # add a portrait and several webcam scenes; missing files are skipped)
+    import matplotlib
+    mpl_dir = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                           "sample_data")
+    sources += sorted(glob.glob(os.path.join(mpl_dir, "grace_hopper.jpg")))
+    try:
+        import pygame
+        pg = os.path.dirname(pygame.__file__)
+        sources += sorted(
+            glob.glob(os.path.join(pg, "docs/generated/_images",
+                                   "camera_rgb.jpg"))
+            + glob.glob(os.path.join(pg, "docs/generated/_images",
+                                     "camera_background.jpg"))
+            + glob.glob(os.path.join(pg, "docs/generated/_images",
+                                     "intro_*.jpg")))
+    except ImportError:
+        pass
 
     n_train = n_test = 0
     for path in sources:

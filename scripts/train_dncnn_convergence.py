@@ -49,7 +49,7 @@ OPT = {
         },
     },
     "netG": {"net_type": "dncnn", "in_nc": 1, "out_nc": 1, "nc": 64,
-             "nb": 17, "act_mode": "R", "init_type": "orthogonal",
+             "nb": 17, "act_mode": "BR", "init_type": "orthogonal",
              "init_gain": 0.2},
     "train": {
         "G_lossfn_type": "l1", "G_lossfn_weight": 1.0, "E_decay": 0,
@@ -98,6 +98,12 @@ def main():
                          "tunnel is down; ~50x slower)")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--act_mode", default="BR", choices=["R", "BR"],
+                    help="'BR' trains with BatchNorm like the reference "
+                         "recipe (options/train_dncnn.json:53 act_mode "
+                         "'BR') and folds the BN into the convs before "
+                         "eval (utils/bnorm.py, the released-checkpoint "
+                         "form); 'R' reproduces the round-5 v1 run")
     ap.add_argument("--schedule_steps", type=int, default=None,
                     help="pin the LR schedule to this total length (for "
                          "staged/resumed runs); defaults to --steps")
@@ -116,6 +122,7 @@ def main():
     OPT["train"]["G_scheduler_milestones"] = [
         int(total * f) for f in (0.4, 0.64, 0.8, 0.92)]
     OPT["datasets"]["train"]["dataloader_batch_size"] = args.batch
+    OPT["netG"]["act_mode"] = args.act_mode
     OPT["train"]["checkpoint_save"] = 1000      # staged runs resume cheaply
     OPT["train"]["checkpoint_print"] = 100
 
@@ -169,8 +176,21 @@ def main():
     ref_sd = load_torch_state_dict("/root/reference/model_zoo/dncnn_25.pth")
     ref_params = convert_dncnn(ref_sd, nb=17)["params"]
 
+    # BN-trained runs are evaluated in the released-checkpoint form: fold
+    # the BN into the convs (reference utils_bnorm.py merge, the step that
+    # turns a 'BR' training checkpoint into the shipped 'R' model)
+    trained_params = state.params
+    if getattr(state, "batch_stats", None) is not None:
+        from kair_tpu.utils.bnorm import merge_bn_convblocks
+        import jax as _jax
+        import numpy as np
+        trained_params = merge_bn_convblocks(
+            _jax.tree_util.tree_map(lambda a: np.asarray(a), state.params),
+            _jax.tree_util.tree_map(lambda a: np.asarray(a),
+                                    state.batch_stats))
+
     files = glob.glob("runs/convergence/testH/*.png")
-    ours, noisy = eval_params(model, state.params, files)
+    ours, noisy = eval_params(model, trained_params, files)
     released, _ = eval_params(model, ref_params, files)
 
     report = {
