@@ -85,6 +85,6 @@ def test_vrt_option_tpu_knobs():
         os.path.join(REPO, "options", "vrt",
                      "001_train_vrt_videosr_bi_reds_6frames.json"), is_train=True)
     assert opt["netG"]["fuse_block"] is True
-    assert opt["netG"]["deform_impl"] in ("gather", "mxu")
+    assert opt["netG"]["deform_impl"] in ("auto", "gather", "mxu", "fused")
     assert opt["train"]["fix_iter"] == 20000
     assert opt["model"] == "vrt"
