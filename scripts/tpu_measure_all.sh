@@ -44,7 +44,7 @@ for s in $STAGES; do
       run video_rvrt 3600 python -m kair_tpu.cli.video_bench \
           --net rvrt --frames 6 --size 64 --fuse --deform fused
       run video_vrt 3600 python -m kair_tpu.cli.video_bench \
-          --net vrt --frames 6 --size 64 --fuse --deform mxu ;;
+          --net vrt --frames 6 --size 64 --fuse --deform fused ;;
     train)
       # VRT fused-training step (batch 8: 64 OOMs, round-3 note)
       run train_vrt_fuse 5400 python -m kair_tpu.cli.train_bench \
