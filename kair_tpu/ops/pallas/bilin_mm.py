@@ -107,8 +107,14 @@ def _kernel(coords_ref, slab_ref, p_ref, out_ref, *, h: int, w: int,
 
 
 # largest frame area the MXU sampling path accepts before loudly falling
-# back to gathers (cost ∝ H·W vs rows-only; conservative initial bound —
-# tune from the measured v5e crossover)
+# back to gathers (cost ∝ H·W vs rows-only). Round-5 on-chip data at the
+# released 6x64px clip shapes (runs/tpu_r5/deform_{vrt,rvrt}.log): VRT
+# DCN mxu 78.8 ms/clip vs 127.4 gather (mxu wins below the bound), RVRT
+# GDA mxu 185.7 vs 149.7 gather (the per-(pair,head) kernel launches
+# dominate — model-, not size-, limited). Both lose to impl='fused'
+# (59.7 / 141.3 ms), which is the TPU default via 'auto'; this gate only
+# protects an explicit impl='mxu' request, so the 96² VMEM-derived bound
+# stands.
 MXU_MAX_HW = 96 * 96
 # lane-dim budget: one program holds a few (rt, csp*w) f32 intermediates —
 # cap csp·w so one rt×lanes f32 buffer stays ≤ 4 MB inside the 16 MB
