@@ -21,6 +21,16 @@ timeout 3600 python scripts/loader_ab.py \
 echo "rc=$?" >> "$OUT/loader_ab.log"
 tail -3 "$OUT/loader_ab.log"
 
+echo "=== profile_rvrt ==="
+# attribution for the <110 ms/clip target (VERDICT r4 #6): where do the
+# 141 ms go at the released 6x64 clip shape?
+timeout 3600 python -m kair_tpu.cli.video_bench \
+    --net rvrt --frames 6 --size 64 --fuse --deform fused \
+    --profile "$OUT/trace_rvrt" \
+    > "$OUT/profile_rvrt.log" 2> "$OUT/profile_rvrt.err"
+echo "rc=$?" >> "$OUT/profile_rvrt.log"
+tail -3 "$OUT/profile_rvrt.log"
+
 echo "=== converge_v2 ==="
 timeout 18000 python scripts/train_dncnn_convergence.py \
     --steps 100000 --dtype f32 --act_mode BR --root runs/convergence_v2 \
