@@ -36,6 +36,11 @@ def main(argv=None):
                         help="vrt: deformable sampling path (MXU 2-hot-"
                              "matmul kernel, fwd + scatter-free bwd); "
                              "'fused' only affects rvrt-style GDA")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize attention blocks in the backward "
+                             "pass (vrt/swinir); trades recompute FLOPs for "
+                             "HBM — required for the released 8-clip VRT "
+                             "batch on a single 16G chip")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of one timed "
                              "chain into DIR and print a per-op summary")
@@ -67,6 +72,7 @@ def main(argv=None):
         netg.update({"embed_dim": 180, "depths": [6] * 6, "num_heads": [6] * 6,
                      "window_size": 8, "mlp_ratio": 2.0,
                      "fuse_block": bool(args.fuse),
+                     "use_checkpoint": bool(args.remat),
                      "upsampler": "pixelshuffle" if args.scale > 1 else ""})
     rng = np.random.RandomState(0)
     if args.net == "vrt":
@@ -81,6 +87,7 @@ def main(argv=None):
         netg = {"net_type": "vrt", "upscale": 4, "in_chans": 3,
                 "out_chans": 3, "window_size": [6, 8, 8], "pa_frames": 2,
                 "deformable_groups": 12, "fuse_block": bool(args.fuse),
+                "use_checkpoint_attn": bool(args.remat),
                 "deform_impl": args.deform}
         opt = {"netG": netg,
                "train": {"G_lossfn_type": "charbonnier",
