@@ -19,14 +19,9 @@ if [ -f /tmp/queue2.pid ]; then
   while kill -0 "$(cat /tmp/queue2.pid)" 2>/dev/null; do sleep 60; done
 fi
 
-echo "=== converge_v2 ==="
-timeout 18000 python scripts/train_dncnn_convergence.py \
-    --steps 100000 --dtype f32 --act_mode BR --root runs/convergence_v2 \
-    > "$OUT/converge_v2.log" 2> "$OUT/converge_v2.err"
-echo "rc=$?" >> "$OUT/converge_v2.log"
-tail -3 "$OUT/converge_v2.log"
-
 echo "=== profile_rvrt ==="
+# first: fast (compile-cached from the earlier video_rvrt stage) and it
+# unblocks the <110 ms attribution work while converge_v2 holds the chip
 timeout 3600 python -m kair_tpu.cli.video_bench \
     --net rvrt --frames 6 --size 64 --fuse --deform fused \
     --profile "$OUT/trace_rvrt" \
@@ -34,27 +29,40 @@ timeout 3600 python -m kair_tpu.cli.video_bench \
 echo "rc=$?" >> "$OUT/profile_rvrt.log"
 tail -3 "$OUT/profile_rvrt.log"
 
+echo "=== converge_v2 ==="
+timeout 18000 python scripts/train_dncnn_convergence.py \
+    --steps 100000 --dtype f32 --act_mode BR --root runs/convergence_v2 \
+    > "$OUT/converge_v2.log" 2> "$OUT/converge_v2.err"
+echo "rc=$?" >> "$OUT/converge_v2.log"
+tail -3 "$OUT/converge_v2.log"
+
 echo "=== loader_ab ==="
 timeout 3600 python scripts/loader_ab.py \
     > "$OUT/loader_ab.log" 2> "$OUT/loader_ab.err"
 echo "rc=$?" >> "$OUT/loader_ab.log"
 tail -3 "$OUT/loader_ab.log"
 
-echo "=== train_vrt_fuse_remat ==="
-timeout 5400 python -m kair_tpu.cli.train_bench \
-    --net vrt --batch 8 --patch 64 --fuse --remat \
-    > "$OUT/train_vrt_fuse_remat.log" 2> "$OUT/train_vrt_fuse_remat.err"
-echo "rc=$?" >> "$OUT/train_vrt_fuse_remat.log"
-tail -3 "$OUT/train_vrt_fuse_remat.log"
+# both non-remat legs OOMed at the compile step (fused 43.9G, plain-XLA
+# 209.3G vs 15.75G hbm) — re-run with remat, falling back to smaller
+# batches if batch 8 still exceeds hbm (the reference recipe is batch 8
+# over 8 GPUs = 1 clip per device, so any of these is a fair per-chip
+# number; the log records which batch succeeded)
+train_vrt () {  # $1 tag, $2... extra flags
+  local tag=$1; shift
+  for b in 8 4 2; do
+    echo "=== $tag batch $b ==="
+    timeout 5400 python -m kair_tpu.cli.train_bench \
+        --net vrt --batch "$b" --patch 64 --remat "$@" \
+        > "$OUT/$tag.log" 2> "$OUT/$tag.err"
+    rc=$?
+    echo "rc=$rc (batch $b)" >> "$OUT/$tag.log"
+    tail -3 "$OUT/$tag.log"
+    [ "$rc" -eq 0 ] && grep -q '"metric"' "$OUT/$tag.log" && break
+  done
+}
 
-if ! grep -q '"metric"' "$OUT/train_vrt_xla.log" 2>/dev/null; then
-  echo "=== train_vrt_xla_remat (plain leg produced no metric) ==="
-  timeout 5400 python -m kair_tpu.cli.train_bench \
-      --net vrt --batch 8 --patch 64 --remat \
-      > "$OUT/train_vrt_xla_remat.log" 2> "$OUT/train_vrt_xla_remat.err"
-  echo "rc=$?" >> "$OUT/train_vrt_xla_remat.log"
-  tail -3 "$OUT/train_vrt_xla_remat.log"
-fi
+train_vrt train_vrt_fuse_remat --fuse
+train_vrt train_vrt_xla_remat
 
 echo "=== queue4 summary ==="
 grep -h '"metric"\|rc=\|dB' "$OUT"/converge_v2.log "$OUT"/profile_rvrt.log \
