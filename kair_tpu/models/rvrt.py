@@ -315,8 +315,13 @@ class RVRT(nn.Module):
         hd_, wd_ = lqs_ds.shape[2:4]
         l1 = lqs_ds[:, :-1].reshape(-1, hd_, wd_, lqs_ds.shape[-1])
         l2 = lqs_ds[:, 1:].reshape(-1, hd_, wd_, lqs_ds.shape[-1])
-        flows_backward = spynet(l1, l2).reshape(n, t - 1, hd_, wd_, 2)
-        flows_forward = spynet(l2, l1).reshape(n, t - 1, hd_, wd_, 2)
+        # both directions in ONE SpyNet call: every op in the pyramid is
+        # batch-parallel, so stacking halves the sequential chain of tiny
+        # convs/warps (the flow stage is latency-bound at 64px clips)
+        flows = spynet(jnp.concatenate([l1, l2], axis=0),
+                       jnp.concatenate([l2, l1], axis=0))
+        flows_backward = flows[:n * (t - 1)].reshape(n, t - 1, hd_, wd_, 2)
+        flows_forward = flows[n * (t - 1):].reshape(n, t - 1, hd_, wd_, 2)
 
         n_clips = t // self.clip_size
         feats = {"shallow": [feat_shallow[:, i * self.clip_size:(i + 1) * self.clip_size]

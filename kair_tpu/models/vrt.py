@@ -1035,12 +1035,15 @@ class VRT(nn.Module):
         b, d, h, w, c = x.shape
         x1 = x[:, :-1].reshape(-1, h, w, c)
         x2 = x[:, 1:].reshape(-1, h, w, c)
-        fb = spynet(x1, x2)
-        fb = [f.reshape(b, d - 1, h // 2 ** i, w // 2 ** i, 2)
-              for f, i in zip(fb, range(4))]
-        ff = spynet(x2, x1)
-        ff = [f.reshape(b, d - 1, h // 2 ** i, w // 2 ** i, 2)
-              for f, i in zip(ff, range(4))]
+        # both directions in ONE SpyNet call (batch-parallel pyramid →
+        # half the sequential tiny-conv chain; exact equality)
+        m = x1.shape[0]
+        both = spynet(jnp.concatenate([x1, x2], axis=0),
+                      jnp.concatenate([x2, x1], axis=0))
+        fb = [f[:m].reshape(b, d - 1, h // 2 ** i, w // 2 ** i, 2)
+              for f, i in zip(both, range(4))]
+        ff = [f[m:].reshape(b, d - 1, h // 2 ** i, w // 2 ** i, 2)
+              for f, i in zip(both, range(4))]
         if self.pa_frames == 2:
             return fb, ff
         fb2, ff2 = self._flows_4frames(ff, fb)
