@@ -265,6 +265,12 @@ class RSTB(nn.Module):
                 # SwinBlock zeroes the shift when min(h,w) <= window_size —
                 # thread the same EFFECTIVE shift
                 phase = shift if min(h, w) > self.window_size else 0
+        if self.resi_connection == "1conv" and self.fuse_block and not train:
+            # fused tail: the group un-roll, 3x3 conv and residual run as
+            # ONE Pallas strip pass (ops/pallas/conv_block.py) — replaces a
+            # roll HBM round-trip + conv relayout + residual fusion
+            return Conv(self.dim, dtype=self.dtype, name="conv")(
+                res, residual=x, phase=phase)
         if phase:
             res = jnp.roll(res, (phase, phase), axis=(1, 2))
         if self.resi_connection == "1conv":
@@ -313,6 +319,11 @@ class SwinIR(nn.Module):
         x = (x - mean) * self.img_range
 
         def features(feat):
+            # returns body(feat) + feat: the residual is folded here so the
+            # fused conv_after_body tail (Pallas conv+residual, one HBM
+            # pass) can consume it; reference adds it at the call site
+            # (network_swinir.py:661-668)
+            feat0 = feat
             if self.patch_norm:
                 feat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                     name="patch_norm")(feat)
@@ -344,12 +355,17 @@ class SwinIR(nn.Module):
                 else:
                     feat = layer(feat, train=train)
             feat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(feat)
-            return Conv(self.embed_dim, dtype=self.dtype, name="conv_after_body")(feat) \
-                if self.resi_connection == "1conv" else self._conv3(feat)
+            if self.resi_connection != "1conv":
+                return self._conv3(feat) + feat0
+            cab = Conv(self.embed_dim, dtype=self.dtype,
+                       name="conv_after_body")
+            if self.fuse_block and not train:
+                return cab(feat, residual=feat0)
+            return cab(feat) + feat0
 
         if self.upsampler == "pixelshuffle":
             x = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
-            x = features(x) + x
+            x = features(x)
             x = nn.leaky_relu(
                 Conv(self.num_feat, dtype=self.dtype, name="conv_before_upsample")(x),
                 0.01)
@@ -366,13 +382,13 @@ class SwinIR(nn.Module):
             x = Conv(self.in_chans, dtype=self.dtype, name="conv_last")(x)
         elif self.upsampler == "pixelshuffledirect":
             x = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
-            x = features(x) + x
+            x = features(x)
             x = pixel_shuffle(
                 Conv(self.in_chans * self.upscale ** 2, dtype=self.dtype,
                      name="upsample_direct")(x), self.upscale)
         elif self.upsampler == "nearest+conv":
             x = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
-            x = features(x) + x
+            x = features(x)
             x = nn.leaky_relu(
                 Conv(self.num_feat, dtype=self.dtype, name="conv_before_upsample")(x),
                 0.01)
@@ -384,10 +400,14 @@ class SwinIR(nn.Module):
                 nn.leaky_relu(Conv(self.num_feat, dtype=self.dtype, name="conv_hr")(x), 0.2))
         else:  # denoise / JPEG CAR
             x_first = Conv(self.embed_dim, dtype=self.dtype, name="conv_first")(x)
-            res = features(x_first) + x_first
+            res = features(x_first)
             x = x + Conv(self.in_chans, dtype=self.dtype, name="conv_last")(res)
 
-        return x / self.img_range + mean
+        # keep the de-normalization in the compute dtype: `mean` was built
+        # from the f32 input, and a f32 add at HR size (e.g. 16x512x512x3)
+        # costs ~3.3 ms/iter of pure layout/convert work in the bf16 model
+        # (round-5 trace, convert_add_fusion.2)
+        return x / self.img_range + mean.astype(x.dtype)
 
     def _conv3(self, feat):
         feat = Conv(self.embed_dim // 4, dtype=self.dtype, name="cab_a")(feat)

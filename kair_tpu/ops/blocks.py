@@ -73,8 +73,28 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 # conv / conv-transpose with torch-compatible geometry
 # ----------------------------------------------------------------------------
 
+class _RawConvParams(nn.Module):
+    """Declares nn.Conv's param tree (kernel/bias, same names, shapes and
+    initializers) WITHOUT running the conv — lets a fused Pallas path own
+    the compute while staying checkpoint- and init-identical to nn.Conv."""
+    kernel_shape: Tuple[int, int, int, int]
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Conv(nn.Module):
-    """2-D conv, NHWC, explicit symmetric padding like torch Conv2d."""
+    """2-D conv, NHWC, explicit symmetric padding like torch Conv2d.
+
+    `residual`/`phase`: fused tail mode — computes
+    conv(jnp.roll(x, (phase, phase), (1, 2))) + residual, routed through
+    the Pallas strip kernel (ops/pallas/conv_block.py) when the geometry
+    allows; same param tree either way."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -85,7 +105,22 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None, phase: int = 0):
+        fused_ok = (residual is not None and self.kernel_size == 3
+                    and self.stride == 1 and self.padding == 1
+                    and self.dilation == 1 and self.feature_group_count == 1
+                    and self.use_bias and x.shape[-1] == self.features)
+        if fused_ok:
+            from kair_tpu.ops.pallas.conv_block import conv3x3_residual
+            c = x.shape[-1]
+            kern, bias = _RawConvParams((3, 3, c, self.features),
+                                        self.features, name="conv")()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                residual = residual.astype(self.dtype)
+            return conv3x3_residual(x, residual, kern, bias, phase=phase)
+        assert residual is None and phase == 0, \
+            "fused residual mode needs k=3/s=1/p=1/d=1/groups=1 and C_in==C_out"
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

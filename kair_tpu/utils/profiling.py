@@ -63,8 +63,11 @@ def summarize_trace(log_dir: str, top: int = 25):
 
 # ---- minimal protobuf wire-format walk -------------------------------------
 # XSpace: planes=1 -> XPlane{name=2, lines=3 -> XLine{events=4 ->
-#   XEvent{metadata_id=1, duration_ps=3}}, event_metadata=5(map<int64,
-#   XEventMetadata{id=1, name=2}>)}
+#   XEvent{metadata_id=1, duration_ps=3}}, event_metadata=4(map<int64,
+#   XEventMetadata{id=1, name=2}>)}. NB event_metadata is field 4 and
+#   stat_metadata is field 5 — reading 5 returns stat names ("flops",
+#   "bytes_accessed", "_p"...) and produced the garbage table the r5
+#   bench_profile stage printed.
 
 def _varint(buf, i):
     shift = result = 0
@@ -100,14 +103,19 @@ def _fields(buf):
             raise ValueError(f"wire type {wt}")
 
 
-def _xspace_op_times(data: bytes, top: int):
-    totals = {}
+def _xspace_op_times(data: bytes, top: int, device_only: bool = True):
+    """Per-op (name, total_us, count) from an XSpace, device planes only
+    (plane name contains 'TPU'/'GPU'/'device:'); falls back to every plane
+    when no device plane parsed (e.g. CPU-only captures)."""
+    per_plane = []                     # (plane_name, {name: (ps, count)})
     for fn, wt, plane in _fields(data):
         if fn != 1 or wt != 2:
             continue
-        meta, events = {}, []
+        pname, meta, events = "", {}, []
         for pf, pw, pv in _fields(plane):
-            if pf == 5 and pw == 2:           # event_metadata map entry
+            if pf == 2 and pw == 2:           # XPlane.name
+                pname = pv.decode("utf-8", "replace")
+            elif pf == 4 and pw == 2:         # event_metadata map entry
                 mid, mname = None, None
                 for mf, mw, mv in _fields(pv):
                     if mf == 1 and mw == 0:
@@ -130,15 +138,29 @@ def _xspace_op_times(data: bytes, top: int):
                             elif ef == 3 and ew == 0:
                                 dur = ev
                         events.append((mid, dur))
+        totals: dict = {}
         for mid, dur in events:
             name = meta.get(mid)
-            # skip profiler bookkeeping pseudo-events that shadow real ops
-            if not name or name in ("hlo_op", "run_id", "_c", "_ct",
-                                    "program_id", "device_ordinal"):
+            if not name:
                 continue
             t, c = totals.get(name, (0, 0))
             totals[name] = (t + dur, c + 1)
-    rows = [(name, t / 1e6, c) for name, (t, c) in totals.items()]
+        if totals:
+            per_plane.append((pname, totals))
+
+    def is_device(nm):
+        return ("TPU" in nm or "GPU" in nm or "/device:" in nm) \
+            and "Host" not in nm
+    chosen = [t for nm, t in per_plane if is_device(nm)] if device_only \
+        else []
+    if not chosen:
+        chosen = [t for _, t in per_plane]
+    merged: dict = {}
+    for totals in chosen:
+        for name, (t, c) in totals.items():
+            mt, mc = merged.get(name, (0, 0))
+            merged[name] = (mt + t, mc + c)
+    rows = [(name, t / 1e6, c) for name, (t, c) in merged.items()]
     rows.sort(key=lambda r: -r[1])
     return rows[:top]
 
