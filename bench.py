@@ -125,7 +125,9 @@ def _timed_chain(model_apply, variables, x, k: int) -> float:
         def body(_, acc):
             y = model_apply(v, acc)
             # feed the output back at input size to chain the dependency
-            return y[:, ::sf, ::sf, :]
+            # (cast: the fused tail keeps the model output in the compute
+            # dtype, so the carry type must be pinned to the input's)
+            return y[:, ::sf, ::sf, :].astype(acc.dtype)
         out = jax.lax.fori_loop(0, k, body, a)
         return jnp.sum(out)
 
@@ -182,8 +184,11 @@ def main(argv=None):
 
     lr_size = 128
     batch = 16
+    # bf16 input: the model computes in bf16 and (since the fused tail) no
+    # longer converts its output to f32, so a bf16 carry avoids two dtype
+    # converts per chained iteration
     x = jnp.asarray(np.random.RandomState(0).rand(batch, lr_size, lr_size, 3),
-                    jnp.float32)
+                    jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x)
     apply_fn = lambda v, a: model.apply(v, a)
 
