@@ -42,10 +42,18 @@ from kair_tpu.ops.pallas.bilin_mm import (MXU_MAX_HW, _fold_matrix, _pad_cs,
 
 
 def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
-                w: int, csp: int, cg: int, clip: int, K: int):
+                w: int, csp: int, cg: int, clip: int, K: int, tg: int):
+    """Tap-grouped body: `tg` taps of one clip are stacked along the
+    sublane (row) dim and sampled with ONE matmul pair per group instead
+    of one pair per tap — 18 small matmuls/program (r5 trace: ~48% MXU,
+    14.6 ms/call at RVRT shapes) become ceil(K/tg)·clip larger ones. The
+    sample matmul emits the compute dtype directly (the MXU accumulates
+    f32 either way; this skips the old f32 materialize+cast pass over
+    the (rt, csp·w) intermediate)."""
     rt = q_ref.shape[1]
     dt = slab_ref.dtype
     f32 = jnp.float32
+    prec = mxu_precision(dt)
 
     q = q_ref[0].astype(f32)                      # (rt, cg), pre-scaled
     ihf = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1).astype(f32)
@@ -58,32 +66,50 @@ def _gda_kernel(coords_ref, slab_ref, q_ref, p_ref, out_ref, *, h: int,
     cds = coords_ref[0]                           # (rt, S*2)
     for n in range(clip):
         slab_n = slab_ref[0, n]                   # (h, csp*w)
-        for t_ in range(K):
-            s = n * K + t_
-            fy = cds[:, 2 * s: 2 * s + 1]
-            fx = cds[:, 2 * s + 1: 2 * s + 2]
-            # hat-function 2-hot weights (see bilin_mm.hat_weights: the
-            # compare-mask form is un-lowerable in Mosaic)
-            ry = hat_weights(ihf, fy).astype(dt)
-            cx = hat_weights(iwf, fx).astype(dt)
-            prec = mxu_precision(dt)
-            a = jnp.dot(ry, slab_n, preferred_element_type=f32,
-                        precision=prec)
-            m = a.astype(dt) * jnp.tile(cx, (1, csp))
+        for t0 in range(0, K, tg):
+            ts = range(t0, min(t0 + tg, K))
+            rys, cxs = [], []
+            for t_ in ts:
+                s = n * K + t_
+                fy = cds[:, 2 * s: 2 * s + 1]
+                fx = cds[:, 2 * s + 1: 2 * s + 2]
+                # hat-function 2-hot weights (see bilin_mm.hat_weights:
+                # the compare-mask form is un-lowerable in Mosaic)
+                rys.append(hat_weights(ihf, fy).astype(dt))
+                cxs.append(jnp.tile(hat_weights(iwf, fx).astype(dt),
+                                    (1, csp)))
+            ry_g = jnp.concatenate(rys, axis=0) if len(rys) > 1 else rys[0]
+            cx_g = jnp.concatenate(cxs, axis=0) if len(cxs) > 1 else cxs[0]
+            a = jnp.dot(ry_g, slab_n, preferred_element_type=dt,
+                        precision=prec)           # (|ts|·rt, csp·w)
+            m = a * cx_g
             samp = jnp.dot(m, p_ref[:], preferred_element_type=f32,
-                           precision=prec)
-            k_s = samp[:, :cg]                    # (rt, cg) f32
-            v_s = samp[:, cg: 2 * cg]
-            score = jnp.sum(q * k_s, axis=1, keepdims=True)   # (rt, 1)
-            m_new = jnp.maximum(m_run, score)
-            alpha = jnp.exp(m_run - m_new)
-            beta = jnp.exp(score - m_new)
-            l_run = l_run * alpha + beta
-            acc = acc * alpha + beta * v_s
-            m_run = m_new
+                           precision=prec)        # (|ts|·rt, csp) f32
+            for i, _ in enumerate(ts):
+                k_s = samp[i * rt:(i + 1) * rt, :cg]
+                v_s = samp[i * rt:(i + 1) * rt, cg: 2 * cg]
+                score = jnp.sum(q * k_s, axis=1, keepdims=True)  # (rt, 1)
+                m_new = jnp.maximum(m_run, score)
+                alpha = jnp.exp(m_run - m_new)
+                beta = jnp.exp(score - m_new)
+                l_run = l_run * alpha + beta
+                acc = acc * alpha + beta * v_s
+                m_run = m_new
 
     out = acc / jnp.maximum(l_run, 1e-30)
     out_ref[0] = out.astype(out_ref.dtype)
+
+
+# VMEM budget for one tap-group's live intermediates (a, m, cx_g — each
+# |ts|·rt × csp·w in the compute dtype): sized so the group triple stays
+# well under the ~16 MB scoped-VMEM stack next to the slab block and the
+# pipeline's double buffers.
+_GDA_GROUP_BYTES = 8 << 20
+
+
+def _pick_tg(K: int, rt: int, lanes: int, itemsize: int) -> int:
+    per_tap = 3 * rt * lanes * itemsize
+    return max(1, min(K, _GDA_GROUP_BYTES // per_tap))
 
 
 def gda_supported(c: int, heads: int, dg: int, h: int, w: int, clip: int,
@@ -98,7 +124,7 @@ def gda_supported(c: int, heads: int, dg: int, h: int, w: int, clip: int,
 
 
 def _fused_fwd_impl(q, k_feat, v_feat, offset, kernel, heads, dg, rt,
-                    interpret):
+                    interpret, tg=0):
     b, h, w, c = q.shape
     clip = k_feat.shape[1]
     kh, kw = kernel
@@ -146,10 +172,12 @@ def _fused_fwd_impl(q, k_feat, v_feat, offset, kernel, heads, dg, rt,
         qg = jnp.pad(qg, ((0, 0), (0, rp - r), (0, 0)))
 
     p = _fold_matrix(w, csp, slab.dtype)
+    if not tg:
+        tg = _pick_tg(K, rt, csp * w, jnp.dtype(dt).itemsize)
 
     out = pl.pallas_call(
         functools.partial(_gda_kernel, h=h, w=w, csp=csp, cg=cg, clip=clip,
-                          K=K),
+                          K=K, tg=tg),
         grid=(G, rp // rt),
         in_specs=[
             pl.BlockSpec((1, rt, S * 2), lambda gi, ri: (gi, ri, 0)),
@@ -174,24 +202,24 @@ def _composed(q, k_feat, v_feat, offset, kernel, heads, dg):
                             impl="gather")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def gda_fused(q, k_feat, v_feat, offset, kernel=(3, 3), heads=12, dg=12,
-              rt: int = 256, interpret: bool = False):
+              rt: int = 256, interpret: bool = False, tg: int = 0):
     """Fused GDA forward. Same contract as ops.deform_attn.deform_attention
     (q (B,H,W,C); k/v (B,clip,H,W,C) pre-rotated; offset
     (B,clip,H,W,dg·K·2)). Caller must check gda_supported first."""
     return _fused_fwd_impl(q, k_feat, v_feat, offset, kernel, heads, dg,
-                           rt, interpret)
+                           rt, interpret, tg)
 
 
 def _gda_vjp_fwd(q, k_feat, v_feat, offset, kernel, heads, dg, rt,
-                 interpret):
+                 interpret, tg):
     out = _fused_fwd_impl(q, k_feat, v_feat, offset, kernel, heads, dg,
-                          rt, interpret)
+                          rt, interpret, tg)
     return out, (q, k_feat, v_feat, offset)
 
 
-def _gda_vjp_bwd(kernel, heads, dg, rt, interpret, res, g):
+def _gda_vjp_bwd(kernel, heads, dg, rt, interpret, tg, res, g):
     q, k_feat, v_feat, offset = res
     _, pullback = jax.vjp(
         lambda a, b, c, d: _composed(a, b, c, d, kernel, heads, dg),

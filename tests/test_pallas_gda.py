@@ -95,8 +95,8 @@ def test_rvrt_deform_fused_matches_gather():
     orig = gb._fused_fwd_impl
     patch = mock.patch.object(
         gb, "_fused_fwd_impl",
-        lambda q, k, v, o, kern, hh, dgg, rt, _i: orig(
-            q, k, v, o, kern, hh, dgg, rt, True))
+        lambda q, k, v, o, kern, hh, dgg, rt, _i, tg=0: orig(
+            q, k, v, o, kern, hh, dgg, rt, True, tg))
 
     rng = np.random.RandomState(5)
     lqs = rng.rand(1, 4, 64, 64, 3).astype(np.float32)
@@ -114,5 +114,15 @@ def test_fused_dispatch_falls_back_loudly():
     want = deform_attention(q, k, v, off, (3, 3), 3, 6, impl="gather")
     got = deform_attention(q, k, v, off, (3, 3), 3, 6, impl="fused",
                            _interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_tap_group_remainder():
+    """Forced tg=2 exercises the grouped-matmul path with a ragged last
+    group (K=9 -> groups 2,2,2,2,1); must stay exactly equal to auto-tg."""
+    q, k, v, off = make_case(seed=5)
+    want = deform_attention(q, k, v, off, (3, 3), 6, 6, impl="gather")
+    got = gda_fused(q, k, v, off, (3, 3), 6, 6, 256, True, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
