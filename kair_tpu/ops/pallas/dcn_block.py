@@ -32,10 +32,15 @@ from kair_tpu.ops.pallas.bilin_mm import (MXU_MAX_HW, _fold_matrix, _pad_cs,
 
 
 def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
-                h: int, w: int, csp: int, cg: int, K: int):
-    rt = mask_ref.shape[1]
+                h: int, w: int, csp: int, cg: int, K: int, tg: int):
+    """Tap-grouped body (same restructure as gda_block._gda_kernel): `tg`
+    taps are stacked along the sublane dim and sampled with one matmul
+    pair per group instead of one per tap; the sample matmul emits the
+    compute dtype directly (MXU accumulates f32 either way)."""
+    rt = mask_ref.shape[2]                    # block is (1, 1, rt, K)
     dt = slab_ref.dtype
     f32 = jnp.float32
+    prec = mxu_precision(dt)
 
     ihf = jax.lax.broadcasted_iota(jnp.int32, (rt, h), 1).astype(f32)
     iwf = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1).astype(f32)
@@ -44,19 +49,25 @@ def _dcn_kernel(coords_ref, mask_ref, slab_ref, w_ref, p_ref, out_ref, *,
     slab = slab_ref[0, 0]                     # (h, csp*w)
 
     cols = []
-    for t_ in range(K):
-        fy = cds[:, 2 * t_: 2 * t_ + 1]
-        fx = cds[:, 2 * t_ + 1: 2 * t_ + 2]
-        # hat-function 2-hot weights (see bilin_mm.hat_weights: the
-        # compare-mask form is un-lowerable in Mosaic)
-        ry = hat_weights(ihf, fy).astype(dt)
-        cx = hat_weights(iwf, fx).astype(dt)
-        prec = mxu_precision(dt)
-        a = jnp.dot(ry, slab, preferred_element_type=f32, precision=prec)
-        mm = a.astype(dt) * jnp.tile(cx, (1, csp))
+    for t0 in range(0, K, tg):
+        ts = range(t0, min(t0 + tg, K))
+        rys, cxs = [], []
+        for t_ in ts:
+            fy = cds[:, 2 * t_: 2 * t_ + 1]
+            fx = cds[:, 2 * t_ + 1: 2 * t_ + 2]
+            # hat-function 2-hot weights (see bilin_mm.hat_weights: the
+            # compare-mask form is un-lowerable in Mosaic)
+            rys.append(hat_weights(ihf, fy).astype(dt))
+            cxs.append(jnp.tile(hat_weights(iwf, fx).astype(dt), (1, csp)))
+        ry_g = jnp.concatenate(rys, axis=0) if len(rys) > 1 else rys[0]
+        cx_g = jnp.concatenate(cxs, axis=0) if len(cxs) > 1 else cxs[0]
+        a = jnp.dot(ry_g, slab, preferred_element_type=dt, precision=prec)
+        mm = a * cx_g
         samp = jnp.dot(mm, p_ref[:], preferred_element_type=f32,
-                       precision=prec)                            # (rt,csp)
-        cols.append(samp[:, :cg] * msk[:, t_: t_ + 1].astype(f32))
+                       precision=prec)                       # (|ts|·rt,csp)
+        for i, t_ in enumerate(ts):
+            cols.append(samp[i * rt:(i + 1) * rt, :cg]
+                        * msk[:, t_: t_ + 1].astype(f32))
     cols2 = jnp.concatenate(cols, axis=1).astype(dt)              # (rt,K*cg)
 
     part = jnp.dot(cols2, w_ref[0], preferred_element_type=f32,
@@ -123,9 +134,11 @@ def _dcn_fused_fwd(x, offset, mask, weight, stride, padding, dilation, dg,
     wg = wg.reshape(dg, K * cg, cout).astype(dt)
 
     p = _fold_matrix(w, csp, slab.dtype)
+    from kair_tpu.ops.pallas.gda_block import _pick_tg
+    tg = _pick_tg(K, rt, csp * w, jnp.dtype(dt).itemsize)
 
     out = pl.pallas_call(
-        functools.partial(_dcn_kernel, h=h, w=w, csp=csp, cg=cg, K=K),
+        functools.partial(_dcn_kernel, h=h, w=w, csp=csp, cg=cg, K=K, tg=tg),
         grid=(n, rp // rt, dg),
         in_specs=[
             pl.BlockSpec((1, 1, rt, K * 2),
