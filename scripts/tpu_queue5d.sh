@@ -24,6 +24,9 @@ if ! grep -q "PROBE OK" "$OUT/probe_mosaic_v2.log"; then
 fi
 run deform_rvrt_v2 5400 python -m kair_tpu.cli.video_bench \
     --net rvrt --frames 6 --size 64 --fuse --compare
+run deform_vrt_v2 5400 python -m kair_tpu.cli.video_bench \
+    --net vrt --frames 6 --size 64 --fuse --compare
 
 echo "=== queue5d summary ==="
-grep -h '"metric"\|rc=' "$OUT"/probe_mosaic_v2.log "$OUT"/deform_rvrt_v2.log
+grep -h '"metric"\|rc=' "$OUT"/probe_mosaic_v2.log \
+    "$OUT"/deform_rvrt_v2.log "$OUT"/deform_vrt_v2.log
