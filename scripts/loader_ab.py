@@ -87,10 +87,15 @@ def main():
     report = {}
     for kind in args.sets:
         row = {}
+        # prime the in-process jit cache once per protocol: the first
+        # timed leg otherwise pays the compile while the later ones reuse
+        # it in-process, making the (full - warm) marginal negative
+        # (observed in runs/tpu_r5/loader_ab.log: warm 659s > full 38s)
+        timed_run(True, 1, args.batch, kind)
         for native in (True, False):
             t_warm = timed_run(native, N_WARM, args.batch, kind)
             t_full = timed_run(native, N_FULL, args.batch, kind)
-            ips = (N_FULL - N_WARM) / max(t_full - t_warm, 1e-9)
+            ips = (N_FULL - N_WARM) / max(t_full - t_warm, 1e-3)
             row["native" if native else "python"] = round(ips, 2)
             print(f"{kind} {'native' if native else 'python'}: "
                   f"{ips:.2f} it/s (warm {t_warm:.1f}s, full {t_full:.1f}s)",
